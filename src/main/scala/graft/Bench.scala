@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: index-build throughput + per-query latency over the
+  * sfDir tables. One JSON line on stdout (driver contract).
+  *
+  * The index is built once (timed, reported as docs/sec and as the
+  * `index_build` entry) and cached; query timings then measure the query
+  * path itself — mirroring dcs's replay harness split of posting time vs
+  * total time (`cmd/dcs/replay.go:37-45`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // timed index build (includes trigram sections), then force-cache
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val tBuild = time {
+      val idx = SparkEntry.index(spark, sfDir)
+      idx.postings.count(); idx.trigrams.foreach(_.count())
+      idx.docmap.count(); idx.docnorms.count(); idx.termstats.count()
+    }
+    val docsPerSec = nDocs / math.max(tBuild, 1e-9)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double](
+      "index_build" -> tBuild)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""sf":"$sfDir","n_docs":$nDocs,"build_sec":$tBuild%.3f,""" +
+        f""""build_docs_per_sec":$docsPerSec%.1f}""")
     spark.stop()
   }
 }

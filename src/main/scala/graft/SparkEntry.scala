@@ -1,13 +1,532 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{BuiltIndex, IndexBuilder, IndexMerger, Postings, Search}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.QueryRunner
+
+/** Driver contract: every operator of the engine exposed as a
+  * (SparkSession, sfDir) => DataFrame with a DuckDB oracle over the same
+  * parquet tables. The engine queries run through the REAL index path
+  * (build → encode → decode → search) so the oracle validates the whole
+  * pipeline, not a shortcut.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- corpus + index caches (one build per sfDir per JVM) ---------------
+
+  private val idxCache = TrieMap.empty[String, BuiltIndex]
+  private val mergedCache = TrieMap.empty[String, BuiltIndex]
+
+  /** documents.parquet → engine corpus. url = zero-padded doc_id, so the
+    * engine's url-sorted dense docId equals doc_id (doc_ids are dense). */
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        format_string("doc%012d", col("doc_id")).as("url"),
+        col("text"), col("lang"), col("source"), col("doc_id"))
+
+  def cfg: IndexBuilder.Config =
+    IndexBuilder.Config(docsPerShard = 128, blockSize = 64, partitions = 8)
+
+  def index(s: SparkSession, dir: String): BuiltIndex =
+    idxCache.getOrElseUpdate(dir,
+      IndexBuilder.build(s, corpus(s, dir).select("url", "text", "lang"), cfg).cache())
+
+  /** Two sub-indexes over contiguous halves of the url order, merged —
+    * exercises the ConcatN-style merge (J7) on the oracle corpus. */
+  def merged(s: SparkSession, dir: String): BuiltIndex =
+    mergedCache.getOrElseUpdate(dir, {
+      val c = corpus(s, dir).select("url", "text", "lang", "doc_id")
+      val n = c.count()
+      val half = n / 2
+      val mcfg = cfg.copy(buildTrigrams = false)
+      val parts = Seq(
+        c.filter(col("doc_id") < half).drop("doc_id"),
+        c.filter(col("doc_id") >= half).drop("doc_id"))
+        .map(df => IndexBuilder.build(s, df, mcfg))
+      IndexMerger.merge(s, parts, mcfg).cache()
+    })
+
+  private def docsWithIds(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select(col("doc_id").as("docId"), col("text"))
+
+  // fixed query constants (chosen from the synthetic vocabulary)
+  val AndTerms = Seq("data", "table", "fast")
+  val OrTerms = Seq("dup", "vector")
+  val Bm25Terms = Seq("data", "dup", "table")
+  val PhraseTerms = Seq("data", "customer")
+  val SubstringLit = "fast table"
+  val TriLiterals = Seq("dat", "tab", "fas")
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QueryRunner.run(spark, index(spark, "/root/testdata/sf0.001"), "data table join", 10)
+
+  // ---- queries -----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2/A1-A3/S5-S8: docid assignment + ingest
+    "q_docmap" -> ((s, dir) => {
+      index(s, dir).docmap.toDF()
+        .select(col("docId").as("docid"), col("url"), col("shard"), col("dl"), col("lang"))
+        .orderBy("docid")
+    }),
+    // A3: global term statistics from the ENCODED index
+    "q_termstats" -> ((s, dir) => {
+      index(s, dir).termstats.toDF()
+        .select(col("term"), col("df"), col("cf"), col("maxTf").as("max_tf"))
+        .orderBy("term")
+    }),
+    // S5+S8+S10: full encode→decode round-trip of the docid+tf sections
+    "q_postings_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val idx = index(s, dir)
+      val dps = idx.meta.docsPerShard
+      idx.postings.flatMap { b =>
+        val (ds, tfs) = Postings.decodeDocsTfs(b, dps)
+        Iterator.tabulate(ds.length)(i => (b.term, ds(i), tfs(i)))
+      }.toDF("term", "docid", "tf").orderBy("term", "docid")
+    }),
+    // S6/S7: positional sections round-trip (pos + posrel)
+    "q_positions_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val idx = index(s, dir)
+      val dps = idx.meta.docsPerShard
+      idx.postings.flatMap { b =>
+        Postings.decodePositions(b, dps).iterator.flatMap { case (d, ps) =>
+          ps.iterator.map(p => (b.term, d, p))
+        }
+      }.toDF("term", "docid", "pos").orderBy("term", "docid", "pos")
+    }),
+    // J1: posting-list intersection
+    "q_search_and" -> ((s, dir) =>
+      Search.searchAnd(s, index(s, dir), AndTerms)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // J2: posting-list union
+    "q_search_or" -> ((s, dir) =>
+      Search.searchOr(s, index(s, dir), OrTerms)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // T2 + X9: block-max WAND BM25 top-k
+    "q_bm25_topk" -> ((s, dir) =>
+      Search.topK(s, index(s, dir), Bm25Terms, 20)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // J3: positional phrase join
+    "q_phrase" -> ((s, dir) =>
+      Search.phrase(s, index(s, dir), PhraseTerms)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // trigram index + positional refinement + exact verification (X2/X3)
+    "q_substring" -> ((s, dir) =>
+      Search.substring(s, index(s, dir), docsWithIds(s, dir), SubstringLit)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // trigram docid sections for selected trigrams
+    "q_trigram_postings" -> ((s, dir) => {
+      import s.implicits._
+      val idx = index(s, dir)
+      val dps = idx.meta.docsPerShard
+      val tris = TriLiterals.map(triOf)
+      idx.trigrams.get.filter(col("tri").isin(tris.map(Integer.valueOf): _*))
+        .flatMap { b =>
+          Postings.decodeTriDocs(b, dps).iterator.map(d => (graft.functions.Text.trigramHex(b.tri), d))
+        }.toDF("tri", "docid").orderBy("tri", "docid")
+    }),
+    // J7: N-way merge with docid rebase ≡ direct build
+    "q_merge_termstats" -> ((s, dir) => {
+      merged(s, dir).termstats.toDF()
+        .select(col("term"), col("df"), col("cf"), col("maxTf").as("max_tf"))
+        .orderBy("term")
+    }),
+    // F3-analogue metadata filter + restricted scoring
+    "q_lang_filter" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), "dup lang:de", 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // A5: per-group cap via window
+    "q_topk_per_source" -> ((s, dir) => {
+      val scored = QueryRunner.scoreDocs(s, index(s, dir), Seq("data", "dup"), None)
+      val src = corpus(s, dir).select(col("doc_id").as("docId"), col("source"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("docId").asc)
+      scored.join(src, "docId")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("source"), col("docId").as("docid"),
+          round(col("score"), 5).as("score"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+    // X3/X4: snippet extraction around first match
+    "q_snippet" -> ((s, dir) => {
+      corpus(s, dir)
+        .filter(col("text").contains("dup"))
+        .select(col("doc_id").as("docid"),
+          locate("dup", col("text")).as("off"),
+          expr("substring(text, greatest(locate('dup', text) - 30, 1), 60)").as("snip"))
+        .orderBy("docid")
+    }),
+    // pipeline: exact dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(corpus(s, dir), idCol = "doc_id")
+        .select(col("text_hash"), col("keep_id"), col("n_dups"))
+        .orderBy("text_hash")),
+    // pipeline: MinHash+LSH banded signatures
+    "q_minhash_bands" -> ((s, dir) =>
+      Dedup.minhashBands(corpus(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+        .orderBy("id", "band")),
+    // pipeline: n-gram Jaccard near-dup pairs
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(corpus(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+    // pipeline: SimHash fingerprints
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(corpus(s, dir), "doc_id", "text").orderBy("id")),
+    // pipeline: brute-force cosine ANN baseline
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), 5)
+        .orderBy("qid", "rank")
+    }),
+    // pipeline: LSH-bucketed ANN (the scale path)
+    "q_lsh_ann" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        dim = 64, planes = 6)
+        .orderBy("qid", "rank")
+    }),
+    // pipeline: language id
+    "q_langid" -> ((s, dir) => {
+      val ids = corpus(s, dir).select(col("doc_id").as("docid"), col("text"))
+      TextAnalysis.languageId(ids, "docid").orderBy("docid")
+    }),
+    // pipeline: quality scoring
+    "q_quality" -> ((s, dir) => {
+      val ids = corpus(s, dir).select(col("doc_id").as("docid"), col("text"))
+      TextAnalysis.qualityScore(ids, "docid").orderBy("docid")
+    }),
+    // pipeline: token counting
+    "q_token_counts" -> ((s, dir) => {
+      val ids = corpus(s, dir).select(col("doc_id").as("docid"), col("text"))
+      TextAnalysis.tokenCounts(ids, "docid").orderBy("docid")
+    }),
+    // pipeline: winnowing-style fingerprint
+    "q_fingerprint" -> ((s, dir) => {
+      val ids = corpus(s, dir).select(col("doc_id").as("docid"), col("text"))
+      TextAnalysis.fingerprint(ids, "docid").orderBy("docid")
+    }),
+    // pipeline: multimodal binary plumbing (stubbed codec)
+    "q_media_features" -> ((s, dir) => {
+      val ids = corpus(s, dir).select(col("doc_id"), col("text"))
+      Multimodal.featurize(Multimodal.syntheticMedia(s, ids))
+        .toDF().select(col("id"), col("kind"), col("nBytes").as("n_bytes"), col("sha"))
+        .orderBy("id")
+    }),
+    // pipeline: frame sampling plumbing
+    "q_frame_sample" -> ((s, dir) => {
+      val ids = corpus(s, dir).select(col("doc_id"), col("text"))
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, ids))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_frames"), sum("frame_bytes").as("bytes_sampled"))
+        .orderBy("id")
+    }))
+
+  // ---- oracle SQL --------------------------------------------------------
+
+  /** Shared CTE prefix: dense docid (row_number over doc_id), token list
+    * and exploded (term, pos) per doc — the brute-force re-derivation the
+    * index pipeline must reproduce. */
+  private val P =
+    """WITH ids AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS docid,
+      |         doc_id, text, lang, source, n_chars
+      |  FROM documents
+      |), toks AS (
+      |  SELECT docid, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+      |  FROM ids
+      |), tok AS (
+      |  SELECT t.docid, u.tok AS term, CAST(u.i - 1 AS INT) AS pos
+      |  FROM toks t, LATERAL (SELECT unnest(t.l) AS tok, generate_subscripts(t.l, 1) AS i) u
+      |)""".stripMargin
+
+  private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+
+  private val bm25Score =
+    "ln((n - df + 0.5) / (df + 0.5) + 1.0) * c * 2.2 / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+
+  private def bm25Sql(terms: Seq[String], k: Int, restrict: String = ""): String =
+    s"""$P, tf AS (
+       |  SELECT term, docid, count(*) AS c FROM tok
+       |  WHERE term IN (${inList(terms)}) GROUP BY 1, 2
+       |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dls AS (SELECT docid, len(l) AS dl FROM toks),
+       |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ids) AS n,
+       |                 (SELECT avg(len(l)) FROM toks) AS avgdl)
+       |SELECT docid, round(CAST(sum($bm25Score) AS DOUBLE), 5) AS score
+       |FROM tf JOIN dfs USING (term) JOIN dls USING (docid), stats
+       |$restrict
+       |GROUP BY docid
+       |ORDER BY sum($bm25Score) DESC, docid ASC
+       |LIMIT $k""".stripMargin
+
+  private def triOf(s3: String): Int = {
+    val b = s3.getBytes("UTF-8")
+    ((b(0) & 0xff) << 16) | ((b(1) & 0xff) << 8) | (b(2) & 0xff)
+  }
+
+  private val shingCte =
+    """, shing AS (
+      |  SELECT DISTINCT a.docid AS id, a.term || ' ' || b.term || ' ' || c.term AS sh
+      |  FROM tok a
+      |  JOIN tok b ON a.docid = b.docid AND b.pos = a.pos + 1
+      |  JOIN tok c ON a.docid = c.docid AND c.pos = a.pos + 2
+      |)""".stripMargin
+
+  private def simhashSql: String = {
+    val voteCols = (0 until 64).map { i =>
+      val mask = 1 << (i % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) & $mask) > 0 THEN w ELSE -w END) AS b$i"
+    }.mkString(",\n    ")
+    def half(lo: Int, hi: Int, shift: Int) = (lo until hi).map { i =>
+      s"CASE WHEN b$i > 0 THEN CAST(${1L << (i - shift)} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""$P, tf AS (
+       |  SELECT docid AS id, term, CAST(count(*) AS BIGINT) AS w, md5(term) AS h
+       |  FROM tok GROUP BY docid, term
+       |), votes AS (
+       |  SELECT id,
+       |    $voteCols
+       |  FROM tf GROUP BY id
+       |)
+       |SELECT id, CAST(${half(0, 32, 0)} AS BIGINT) AS simhash_lo,
+       |       CAST(${half(32, 64, 32)} AS BIGINT) AS simhash_hi
+       |FROM votes ORDER BY id""".stripMargin
+  }
+
+  /** Bucket expression for LSH oracle: inline the exact hyperplane
+    * literals the Spark side uses. `e` = embedding column reference. */
+  private def lshBucketSql(e: String, dim: Int, planes: Int): String = {
+    val hp = Similarity.hyperplanes(dim, planes)
+    (0 until planes).map { p =>
+      val dotExpr = (0 until dim).map(i =>
+        s"CAST($e[${i + 1}] AS DOUBLE) * ${hp(p)(i)}").mkString(" + ")
+      s"(CASE WHEN $dotExpr >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private val annFlat =
+    """WITH flat AS (
+      |  SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.i
+      |  FROM embeddings, LATERAL (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i) u
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1
+      |)""".stripMargin
+
+  private def langidSql: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map(l =>
+      s"sum(CASE WHEN term IN (${inList(TextAnalysis.stopwords(l))}) THEN 1 ELSE 0 END) AS s_$l")
+      .mkString(",\n    ")
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""$P, scored AS (
+       |  SELECT docid,
+       |    $scoreCols
+       |  FROM tok GROUP BY docid
+       |), withm AS (SELECT *, $m AS m FROM scored)
+       |SELECT docid, CASE $pick ELSE 'und' END AS lang_pred,
+       |       CAST(m AS BIGINT) AS evidence
+       |FROM withm ORDER BY docid""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_docmap" ->
+      s"""$P SELECT i.docid,
+         |  'doc' || lpad(CAST(i.doc_id AS VARCHAR), 12, '0') AS url,
+         |  CAST(i.docid // 128 AS INT) AS shard,
+         |  CAST(len(t.l) AS INT) AS dl, i.lang
+         |FROM ids i JOIN toks t USING (docid) ORDER BY i.docid""".stripMargin,
+    "q_termstats" ->
+      s"""$P, tf AS (SELECT term, docid, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf,
+         |       CAST(max(c) AS INT) AS max_tf
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "q_postings_roundtrip" ->
+      s"""$P SELECT term, docid, CAST(count(*) AS INT) AS tf
+         |FROM tok GROUP BY term, docid ORDER BY term, docid""".stripMargin,
+    "q_positions_roundtrip" ->
+      s"""$P SELECT term, docid, pos FROM tok ORDER BY term, docid, pos""".stripMargin,
+    "q_search_and" ->
+      s"""$P SELECT docid FROM tok WHERE term IN (${inList(AndTerms)})
+         |GROUP BY docid HAVING count(DISTINCT term) = ${AndTerms.length}
+         |ORDER BY docid""".stripMargin,
+    "q_search_or" ->
+      s"""$P SELECT DISTINCT docid FROM tok WHERE term IN (${inList(OrTerms)})
+         |ORDER BY docid""".stripMargin,
+    "q_bm25_topk" -> bm25Sql(Bm25Terms, 20),
+    "q_phrase" ->
+      s"""$P SELECT DISTINCT a.docid FROM tok a
+         |JOIN tok b ON a.docid = b.docid AND b.pos = a.pos + 1
+         |WHERE a.term = '${PhraseTerms(0)}' AND b.term = '${PhraseTerms(1)}'
+         |ORDER BY a.docid""".stripMargin,
+    "q_substring" ->
+      s"""$P SELECT docid FROM ids WHERE strpos(text, '$SubstringLit') > 0
+         |ORDER BY docid""".stripMargin,
+    "q_trigram_postings" ->
+      s"""$P, tris AS (
+         |  SELECT i.docid, substr(hex(encode(i.text)), CAST(2 * u.i - 1 AS INT), 6) AS tri
+         |  FROM ids i, LATERAL (SELECT unnest(range(1, octet_length(encode(i.text)) - 1)) AS i) u
+         |)
+         |SELECT tri, docid FROM tris
+         |WHERE tri IN (${inList(TriLiterals.map(t => graft.functions.Text.trigramHex(triOf(t))))})
+         |GROUP BY tri, docid ORDER BY tri, docid""".stripMargin,
+    "q_merge_termstats" ->
+      s"""$P, tf AS (SELECT term, docid, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf,
+         |       CAST(max(c) AS INT) AS max_tf
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "q_lang_filter" ->
+      bm25Sql(Seq("dup"), 10,
+        "WHERE docid IN (SELECT docid FROM ids WHERE lang = 'de')"),
+    "q_topk_per_source" ->
+      s"""$P, tf AS (
+         |  SELECT term, docid, count(*) AS c FROM tok
+         |  WHERE term IN ('data', 'dup') GROUP BY 1, 2
+         |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT docid, len(l) AS dl FROM toks),
+         |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ids) AS n,
+         |                 (SELECT avg(len(l)) FROM toks) AS avgdl),
+         |scored AS (
+         |  SELECT docid, sum($bm25Score) AS sc
+         |  FROM tf JOIN dfs USING (term) JOIN dls USING (docid), stats
+         |  GROUP BY docid
+         |), ranked AS (
+         |  SELECT i.source, s.docid, s.sc,
+         |    CAST(row_number() OVER (PARTITION BY i.source ORDER BY s.sc DESC, s.docid ASC) AS INT) AS rn
+         |  FROM scored s JOIN ids i USING (docid)
+         |)
+         |SELECT source, docid, round(CAST(sc AS DOUBLE), 5) AS score, rn
+         |FROM ranked WHERE rn <= 2 ORDER BY source, rn""".stripMargin,
+    "q_snippet" ->
+      s"""$P SELECT docid, CAST(strpos(text, 'dup') AS INT) AS off,
+         |  substring(text, greatest(strpos(text, 'dup') - 30, 1), 60) AS snip
+         |FROM ids WHERE strpos(text, 'dup') > 0 ORDER BY docid""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_minhash_bands" -> {
+      // doc_id is dense at every sf (verified), so shing.id == doc_id
+      val mins = (0 until 16).map(i => s"min(md5('seed$i:' || sh)) AS h$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val sig = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""$P$shingCte, mh AS (
+         |  SELECT id, $mins FROM shing GROUP BY id
+         |)
+         |SELECT id, band, sig FROM ($bandRows) ORDER BY id, band""".stripMargin
+    },
+    "q_ngram_jaccard" ->
+      s"""$P$shingCte, sizes AS (SELECT id, count(*) AS sz FROM shing GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS cnt
+         |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2,
+         |  round(CAST(cnt AS DOUBLE) / (s1.sz + s2.sz - cnt), 5) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |WHERE CAST(cnt AS DOUBLE) / (s1.sz + s2.sz - cnt) >= 0.2
+         |ORDER BY id1, id2""".stripMargin,
+    "q_simhash" -> simhashSql,
+    "q_ann_cosine" ->
+      s"""$annFlat, dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT qid, cid, round(CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE), 5) AS cosine
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+         |), ranked AS (
+         |  SELECT qid, cid, cosine,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "q_lsh_ann" -> {
+      val bucket = lshBucketSql("embedding", 64, 6)
+      s"""$annFlat, buck AS (
+         |  SELECT vec_id, $bucket AS bucket FROM embeddings
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.v * b.v) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i
+         |  JOIN buck ba ON ba.vec_id = a.vec_id JOIN buck bb ON bb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id AND ba.bucket = bb.bucket
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT qid, cid, round(CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE), 5) AS cosine
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+         |), ranked AS (
+         |  SELECT qid, cid, cosine,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+    "q_langid" -> langidSql,
+    "q_quality" -> {
+      val stops = inList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+      s"""$P, agg AS (
+         |  SELECT docid, count(*) AS ntok, sum(len(term)) AS sumlen,
+         |    sum(CASE WHEN term IN ($stops) THEN 1 ELSE 0 END) AS nstop
+         |  FROM tok GROUP BY docid
+         |)
+         |SELECT i.docid,
+         |  CAST(len(i.text) AS INT) AS n_chars_m,
+         |  CAST(coalesce(a.ntok, 0) AS INT) AS n_tokens,
+         |  round(CAST(coalesce(a.sumlen, 0) AS DOUBLE) / greatest(CAST(coalesce(a.ntok, 0) AS DOUBLE), 1.0), 5) AS mean_tok_len,
+         |  round(CAST(coalesce(a.nstop, 0) AS DOUBLE) / greatest(CAST(coalesce(a.ntok, 0) AS DOUBLE), 1.0), 5) AS stop_ratio,
+         |  round(CAST(len(i.text) - len(regexp_replace(i.text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(len(i.text) AS DOUBLE), 1.0), 5) AS digit_ratio,
+         |  round(CAST(len(i.text) - len(regexp_replace(i.text, '[.,;:!?]', '', 'g')) AS DOUBLE) / greatest(CAST(len(i.text) AS DOUBLE), 1.0), 5) AS punct_ratio,
+         |  (len(i.text) >= 50 AND coalesce(a.ntok, 0) >= 10
+         |    AND CAST(coalesce(a.sumlen, 0) AS DOUBLE) / greatest(CAST(coalesce(a.ntok, 0) AS DOUBLE), 1.0) >= 2.0
+         |    AND CAST(coalesce(a.sumlen, 0) AS DOUBLE) / greatest(CAST(coalesce(a.ntok, 0) AS DOUBLE), 1.0) <= 12.0
+         |    AND CAST(len(i.text) - len(regexp_replace(i.text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(len(i.text) AS DOUBLE), 1.0) < 0.3) AS keep
+         |FROM ids i LEFT JOIN agg a USING (docid) ORDER BY i.docid""".stripMargin
+    },
+    "q_token_counts" ->
+      s"""$P, bpe AS (
+         |  SELECT docid, CAST(sum(ceil(len(term) / 6.0)) AS BIGINT) AS b FROM tok GROUP BY docid
+         |)
+         |SELECT i.docid,
+         |  CAST(len(list_filter(regexp_split_to_array(i.text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+         |  CAST(coalesce(bpe.b, 0) AS BIGINT) AS bpe_est_tokens
+         |FROM ids i LEFT JOIN bpe USING (docid) ORDER BY i.docid""".stripMargin,
+    "q_fingerprint" ->
+      s"""$P SELECT i.docid,
+         |  min(md5(substr(lower(i.text), CAST(u.i AS INT), 8))) AS fingerprint
+         |FROM ids i, LATERAL (SELECT unnest(range(1, greatest(len(i.text) - 7, 1) + 1)) AS i) u
+         |GROUP BY i.docid ORDER BY i.docid""".stripMargin,
+    "q_media_features" ->
+      s"""$P SELECT docid AS id,
+         |  CASE CAST(docid % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |  md5(text) AS sha
+         |FROM ids ORDER BY id""".stripMargin,
+    "q_frame_sample" ->
+      s"""$P, vids AS (
+         |  SELECT docid AS id, octet_length(encode(text)) AS nb FROM ids WHERE docid % 3 = 2
+         |), calc AS (
+         |  SELECT id, nb, greatest(nb // 256, 1) AS nf FROM vids
+         |)
+         |SELECT id, CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN nb < 256 THEN nb ELSE ((nf + 3) // 4) * 256 END AS BIGINT) AS bytes_sampled
+         |FROM calc ORDER BY id""".stripMargin
+  )
 }

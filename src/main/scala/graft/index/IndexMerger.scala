@@ -1,0 +1,112 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Varint
+
+/** N-way index merge with docid rebasing — the ConcatN analogue
+  * (reference `/root/reference/internal/index/merge.go:152-250,303-307`):
+  * source i's docids map to [base_i, base_i + n_i) where base_i is the
+  * running sum of earlier sources' doc counts (dcs bumps only the first
+  * delta of each source run; here the rebase is an add on the decoded
+  * stream before re-encoding, which yields byte-identical posting blocks
+  * to a direct build over the concatenated corpus — the property the
+  * reference asserts in `concatn_test.go:107-266`).
+  *
+  * Physical shape: decode each part's blocks to occurrence tuples, union,
+  * then the shared (term, shard)-keyed shuffle+encode pipeline. The
+  * (term, shard) key is the salted two-phase merge demanded by the north
+  * rule: a hot term's postings from all sources land on nShards different
+  * reducers, not one.
+  */
+object IndexMerger {
+
+  def merge(spark: SparkSession, parts: Seq[BuiltIndex],
+      cfg: IndexBuilder.Config): BuiltIndex = {
+    import spark.implicits._
+    require(parts.nonEmpty)
+    val bases = parts.map(_.meta.nDocs).scanLeft(0L)(_ + _)
+    val nDocs = bases.last
+    val dps = cfg.docsPerShard
+    val nShards = math.max(1, (nDocs + dps - 1) / dps).toInt
+
+    // docmap: rebase ids, recompute shard for the merged id space
+    val docmap = parts.zip(bases).map { case (p, b) =>
+      p.docmap.map { d =>
+        val id = d.docId + b
+        DocEntry(id, d.url, (id / dps).toInt, d.dl, d.lang)
+      }
+    }.reduce(_ union _).cache()
+
+    val avgdl = docmap.agg(avg(col("dl"))).as[Double].head()
+
+    val docnorms = docmap
+      .groupByKey(_.shard)
+      .mapGroups { (shard, it) =>
+        val entries = it.map(d => (d.docId, d.dl)).toArray.sortBy(_._1)
+        DocNorms(shard, shard.toLong * dps, entries.length,
+          Varint.encodeInts(entries.map(_._2)))
+      }
+
+    // postings: decode each part's blocks into (term, shard, doc, pos)
+    // occurrences in the merged id space, then re-encode
+    val occs: DataFrame = parts.zip(bases).map { case (p, b) =>
+      val srcDps = p.meta.docsPerShard
+      p.postings.flatMap { blk =>
+        Postings.decodePositions(blk, srcDps).iterator.flatMap { case (doc, poss) =>
+          val id = doc + b
+          val shard = (id / dps).toInt
+          val local = (id - shard.toLong * dps).toInt
+          poss.iterator.map(pos => (blk.term, shard, local, pos))
+        }
+      }.toDF("term", "shard", "doc", "pos")
+    }.reduce(_ union _)
+
+    val postings = IndexBuilder.encodeOccurrences(spark, occs, dps, cfg)
+
+    val termstats = postings
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
+      .as[TermStats]
+
+    // trigram sections merge the same way, if every part has them
+    val trigrams =
+      if (parts.forall(_.trigrams.isDefined)) {
+        val triOccs = parts.zip(bases).map { case (p, b) =>
+          val srcDps = p.meta.docsPerShard
+          p.trigrams.get.flatMap { blk =>
+            val occ: Iterator[(Long, Int)] =
+              if (blk.nPos > 0) Postings.decodeTriPositions(blk, srcDps)
+              else Postings.decodeTriDocs(blk, srcDps).iterator.map(d => (d, 0))
+            occ.map { case (doc, pos) =>
+              val id = doc + b
+              val shard = (id / dps).toInt
+              (blk.tri, shard, (id - shard.toLong * dps).toInt, pos)
+            }
+          }.toDF("tri", "shard", "doc", "pos")
+        }.reduce(_ union _)
+        Some(reencodeTri(spark, triOccs, dps, cfg))
+      } else None
+
+    val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
+    BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)
+  }
+
+  private def reencodeTri(spark: SparkSession, occs: DataFrame, dps: Long,
+      cfg: IndexBuilder.Config): org.apache.spark.sql.Dataset[TriBlock] = {
+    import spark.implicits._
+    // route through the token encoder keyed by the hex form, then repack
+    val asTerm = occs.select(
+      format_string("%06X", col("tri")).as("term"),
+      col("shard"), col("doc"), col("pos"))
+    IndexBuilder.encodeOccurrences(spark, asTerm, dps, cfg).map { b =>
+      val tri = Integer.parseInt(b.term, 16)
+      val noPos = tri == graft.functions.Text.AllSpaces
+      TriBlock(tri, b.shard, b.blockId, b.df, b.firstDoc, b.lastDoc, b.docs,
+        if (noPos) 0 else b.nPos,
+        if (noPos) Array.emptyByteArray else b.pos,
+        if (noPos) Array.emptyByteArray else b.posrel)
+    }
+  }
+}

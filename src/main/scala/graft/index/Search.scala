@@ -1,0 +1,366 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BM25, Text, Varint}
+
+/** Decoded view of posting blocks. */
+object Postings {
+  /** Decode one block into (globalDocId, tf) pairs. */
+  def decodeDocsTfs(b: PostingBlock, dps: Long): (Array[Long], Array[Int]) = {
+    val local = Varint.decodeDeltas(b.docs, b.df)
+    val base = b.shard.toLong * dps
+    (local.map(base + _), Varint.decodeInts(b.tfs, b.df))
+  }
+
+  /** Decode one block's positional section into doc→positions. */
+  def decodePositions(b: PostingBlock, dps: Long): Map[Long, Array[Int]] = {
+    val local = Varint.decodeDeltas(b.docs, b.df)
+    val (docs, poss) = Varint.decodePositions(
+      Varint.PosRun(b.pos, b.posrel, b.nPos), local)
+    val base = b.shard.toLong * dps
+    docs.zip(poss).groupBy(_._1).map { case (d, arr) => (base + d, arr.map(_._2)) }
+  }
+
+  def decodeTriDocs(b: TriBlock, dps: Long): Array[Long] = {
+    val local = Varint.decodeDeltas(b.docs, b.df)
+    val base = b.shard.toLong * dps
+    local.map(base + _)
+  }
+
+  def decodeTriPositions(b: TriBlock, dps: Long): Iterator[(Long, Int)] = {
+    val local = Varint.decodeDeltas(b.docs, b.df)
+    val (docs, poss) = Varint.decodePositions(
+      Varint.PosRun(b.pos, b.posrel, b.nPos), local)
+    val base = b.shard.toLong * dps
+    Iterator.tabulate(docs.length)(i => (base + docs(i), poss(i)))
+  }
+}
+
+/** Cursor over one term's posting blocks within one shard, with
+  * block-granular skipping: `seek` skips (never decodes) whole blocks via
+  * their [firstDoc, lastDoc] bounds — the WAND analogue of dcs's
+  * meta-entry binary search (`internal/index/read.go:161-215`). */
+private final class TermCursor(
+    val term: String,
+    blocks: Array[PostingBlock],
+    dps: Long,
+    val ub: Double // per-term score upper bound (global maxTf)
+) {
+  private var bi = 0
+  private var i = 0
+  private var docs: Array[Long] = _
+  private var tfs: Array[Int] = _
+  loadBlock()
+
+  private def loadBlock(): Unit =
+    if (bi < blocks.length) {
+      val (d, t) = Postings.decodeDocsTfs(blocks(bi), dps)
+      docs = d; tfs = t; i = 0
+    } else { docs = null }
+
+  def exhausted: Boolean = docs == null
+  def docId: Long = docs(i)
+  def tf: Int = tfs(i)
+
+  def next(): Unit = {
+    i += 1
+    if (i >= docs.length) { bi += 1; loadBlock() }
+  }
+
+  def seek(target: Long): Unit = {
+    if (exhausted) return
+    // skip whole blocks without decoding
+    if (blocks(bi).lastDoc < target) {
+      while (bi < blocks.length && blocks(bi).lastDoc < target) bi += 1
+      loadBlock()
+      if (exhausted) return
+    }
+    // gallop within the decoded block
+    while (docs(i) < target) {
+      i += 1
+      if (i >= docs.length) { bi += 1; loadBlock(); if (exhausted) return }
+    }
+  }
+}
+
+object Search {
+
+  /** Per-shard exact WAND top-k, then global top-k merge — the Spark
+    * mirror of dcs's per-shard query + central top-10
+    * (`cmd/dcs-web/querymanager.go:479-548`). Scores are summed in
+    * lexicographic term order for bit-identical determinism (SURVEY §7.3).
+    *
+    * Plan shape: postings scan with `term IN (...)` pushed to parquet →
+    * groupByKey(shard) cogroup with the tiny per-shard norm rows →
+    * flatMapCoGroups WAND → global TakeOrderedAndProject.
+    */
+  def topK(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct.sorted
+    val stats = idx.termstats.filter(col("term").isin(terms: _*))
+      .collect().map(t => t.term -> t).toMap
+    val live = terms.filter(stats.contains)
+    if (live.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+    val meta = idx.meta
+    val ubs: Map[String, Double] = live.map { t =>
+      t -> BM25.maxScore(stats(t).maxTf, stats(t).df, meta.nDocs, meta.avgdl)
+    }.toMap
+    val dfs: Map[String, Long] = live.map(t => t -> stats(t).df).toMap
+    val dps = meta.docsPerShard
+    val nDocs = meta.nDocs
+    val avgdl = meta.avgdl
+
+    val blocks = idx.postings.filter(col("term").isin(live: _*))
+    val byShard = blocks.groupByKey(_.shard)
+    val normsByShard = idx.docnorms.groupByKey(_.shard)
+
+    val perShard = byShard.cogroup(normsByShard) { (shard, blockIt, normIt) =>
+      val norms = normIt.toSeq.headOption
+      if (norms.isEmpty) Iterator.empty
+      else {
+        val dls = Varint.decodeInts(norms.get.dls, norms.get.n)
+        val base = norms.get.base
+        wandShard(blockIt, dls, base, dps, ubs, dfs, nDocs, avgdl, k).iterator
+      }
+    }
+    perShard.toDF("docId", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Exact WAND over one shard. Returns local top-k (docId, score). */
+  private def wandShard(
+      blockIt: Iterator[PostingBlock],
+      dls: Array[Int], base: Long, dps: Long,
+      ubs: Map[String, Double], dfs: Map[String, Long],
+      nDocs: Long, avgdl: Double, k: Int): Seq[(Long, Double)] = {
+    val byTerm = blockIt.toArray.groupBy(_.term)
+    val cursors = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
+      new TermCursor(t, bs.sortBy(_.firstDoc), dps, ubs(t))
+    }
+    // top-k min-heap ordered worst-first: (score asc, docId desc)
+    implicit val ord: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
+    def theta: Double = if (heap.size < k) -1.0 else heap.head._2
+    def offer(doc: Long, score: Double): Unit = {
+      if (heap.size < k) heap.enqueue((doc, score))
+      else {
+        val (wd, ws) = heap.head
+        // strict better-than under (score desc, docId asc) tiebreak
+        if (score > ws || (score == ws && doc < wd)) { heap.dequeue(); heap.enqueue((doc, score)) }
+      }
+    }
+    val active = scala.collection.mutable.ArrayBuffer[TermCursor](cursors: _*)
+    while (active.nonEmpty) {
+      active.filterInPlace(!_.exhausted)
+      if (active.nonEmpty) {
+        val sorted = active.sortBy(_.docId).toArray
+        // pivot: first index where cumulative UB beats theta
+        var acc = 0.0
+        var p = -1
+        var i = 0
+        while (i < sorted.length && p < 0) {
+          acc += sorted(i).ub
+          if (acc > theta) p = i
+          i += 1
+        }
+        if (p < 0) {
+          active.clear() // no doc can beat theta anymore
+        } else {
+          val pivotDoc = sorted(p).docId
+          if (sorted(0).docId == pivotDoc) {
+            // fully score pivotDoc; cursors are in lexicographic term order
+            // only within equal docId prefix — enforce deterministic sum
+            val here = sorted.takeWhile(_.docId == pivotDoc).sortBy(_.term)
+            val dl = dls((pivotDoc - base).toInt)
+            var s = 0.0
+            here.foreach { c => s += BM25.score(c.tf, dfs(c.term), dl, nDocs, avgdl) }
+            offer(pivotDoc, s)
+            here.foreach(_.next())
+          } else {
+            var j = 0
+            while (j < p && sorted(j).docId < pivotDoc) { sorted(j).seek(pivotDoc); j += 1 }
+          }
+        }
+      }
+    }
+    heap.dequeueAll.reverse.toSeq
+  }
+
+  /** Posting AND (J1): docs containing ALL terms, via per-shard sorted-list
+    * intersection, smallest df first (the reference's selectivity ordering,
+    * `internal/index/query.go:48-62`). */
+  def searchAnd(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct.sorted
+    val present = idx.termstats.filter(col("term").isin(terms: _*)).count()
+    if (present < terms.length)
+      return spark.emptyDataset[Long].toDF("docId") // some term matches nothing
+    val dps = idx.meta.docsPerShard
+    val nTerms = terms.length
+    idx.postings.filter(col("term").isin(terms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toArray.groupBy(_.term)
+        if (byTerm.size < nTerms) Iterator.empty
+        else {
+          val lists = byTerm.values.toArray
+            .map(bs => bs.sortBy(_.firstDoc).flatMap(b => Postings.decodeDocsTfs(b, dps)._1))
+            .sortBy(_.length)
+          var acc = lists(0)
+          var i = 1
+          while (i < lists.length && acc.nonEmpty) {
+            acc = intersectSorted(acc, lists(i)); i += 1
+          }
+          acc.iterator
+        }
+      }
+      .toDF("docId")
+  }
+
+  /** Posting OR (J2): union with dedup. */
+  def searchOr(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct.sorted
+    val dps = idx.meta.docsPerShard
+    idx.postings.filter(col("term").isin(terms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val seen = scala.collection.mutable.SortedSet.empty[Long]
+        it.foreach(b => Postings.decodeDocsTfs(b, dps)._1.foreach(seen += _))
+        seen.iterator
+      }
+      .toDF("docId")
+  }
+
+  /** Phrase query (J3 analogue over token positions): docs where the terms
+    * occur at consecutive token positions. Restrict-list pushdown (F6):
+    * positions are only decoded for docs surviving the docid intersection. */
+  def phrase(spark: SparkSession, idx: BuiltIndex, phraseTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phraseTerms.nonEmpty)
+    val uniq = phraseTerms.distinct
+    val dps = idx.meta.docsPerShard
+    val termsWithOffsets = phraseTerms.zipWithIndex
+    idx.postings.filter(col("term").isin(uniq: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toArray.groupBy(_.term)
+        if (byTerm.size < uniq.length) Iterator.empty
+        else {
+          // docid intersection first (cheap), then positional verify
+          val docLists = uniq.map(t =>
+            byTerm(t).sortBy(_.firstDoc).flatMap(b => Postings.decodeDocsTfs(b, dps)._1))
+          val candidates = docLists.sortBy(_.length).reduce(intersectSorted)
+          if (candidates.isEmpty) Iterator.empty
+          else {
+            val candSet = candidates.toSet
+            val posByTerm: Map[String, Map[Long, Array[Int]]] = uniq.map { t =>
+              t -> byTerm(t).iterator
+                .flatMap(b => Postings.decodePositions(b, dps))
+                .filter { case (d, _) => candSet(d) }
+                .toMap
+            }.toMap
+            candidates.iterator.filter { d =>
+              val first = posByTerm(phraseTerms.head)(d)
+              first.exists { p0 =>
+                termsWithOffsets.forall { case (t, off) =>
+                  java.util.Arrays.binarySearch(posByTerm(t)(d), p0 + off) >= 0
+                }
+              }
+            }
+          }
+        }
+      }
+      .toDF("docId")
+  }
+
+  /** Literal substring search over the trigram index: conservative trigram
+    * AND (first+last positional refinement, mirroring the reference's
+    * positional fast path `internal/index/read.go:530-676`) then exact
+    * verification against the document text (the grep stage, X2/X3). */
+  def substring(spark: SparkSession, idx: BuiltIndex, docs: DataFrame, literal: String): DataFrame = {
+    import spark.implicits._
+    val tri = idx.trigrams.getOrElse(
+      throw new IllegalStateException("index built without trigram sections"))
+    val bytes = literal.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(bytes.length >= 3, "substring query needs >= 3 bytes")
+    val grams = Text.trigramsWithOffsets(literal)
+    val needed = grams.map(_._1).distinct
+    val dps = idx.meta.docsPerShard
+    val first = grams.head._1
+    val last = grams.last._1
+    val delta = bytes.length - 3
+    val candidates = tri.filter(col("tri").isin(needed.map(Integer.valueOf): _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byTri = it.toArray.groupBy(_.tri)
+        if (byTri.size < needed.length) Iterator.empty
+        else {
+          val lists = needed.map(t =>
+            byTri(t).sortBy(_.firstDoc).flatMap(b => Postings.decodeTriDocs(b, dps)))
+          val docsAll = lists.sortBy(_.length).reduce(intersectSorted)
+          if (docsAll.isEmpty || first == Text.AllSpaces || last == Text.AllSpaces)
+            docsAll.iterator // all-spaces trigram has no positions; skip refinement
+          else {
+            val candSet = docsAll.toSet
+            def posOf(t: Int): Map[Long, Array[Int]] =
+              byTri(t).iterator.flatMap(b => Postings.decodeTriPositions(b, dps))
+                .filter { case (d, _) => candSet(d) }
+                .toArray.groupBy(_._1).map { case (d, a) => (d, a.map(_._2).sorted) }
+            val firstPos = posOf(first)
+            val lastPos = posOf(last)
+            docsAll.iterator.filter { d =>
+              (firstPos.get(d), lastPos.get(d)) match {
+                case (Some(fp), Some(lp)) =>
+                  fp.exists(p => java.util.Arrays.binarySearch(lp, p + delta) >= 0)
+                case _ => false
+              }
+            }
+          }
+        }
+      }
+      .toDF("docId")
+    // exact verification join (dcs's bytes.Equal stage,
+    // sourcebackend.go:447-545): conservative candidates -> true matches
+    candidates.join(docs, "docId")
+      .filter(col("text").contains(literal))
+      .select("docId")
+  }
+
+  /** Independent brute-force BM25 scorer (the rank-identity oracle,
+    * FIXTURES.md §2): tokenizes from scratch with DataFrame ops only —
+    * shares no code with the index path. */
+  def bruteForceTopK(spark: SparkSession, docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    val terms = queryTerms.distinct.sorted
+    val toks = docs.select(col("docId"), explode(
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))).as("term"))
+    val dl = toks.groupBy("docId").agg(count(lit(1)).as("dl"))
+    val n = docs.count()
+    val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(countDistinct("docId").as("df"))
+    tf.join(dfc, "term").join(dl, "docId")
+      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * col("tf") * lit(BM25.K1 + 1.0) /
+        (col("tf") + lit(BM25.K1) * (lit(1.0 - BM25.B) + lit(BM25.B) * col("dl") / lit(avgdl))))
+      .groupBy("docId").agg(sum("s").as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  private def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { out += a(i); i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All hash primitives are built from `md5` (available identically in
+  * Spark and DuckDB) so every operator stays oracle-checkable by SQL.
+  * Everything is expressed as DataFrame transforms — one shuffle per
+  * groupBy/join, broadcast where one side is small, no driver loops.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: canonical representative = min doc id
+    * per identical text (hash-groupBy; one shuffle on the hash). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles of a document (lowercased [a-z0-9] tokens). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= lit(""))
+    // sliding window via transform over indices; DuckDB mirror uses
+    // list_transform(range(...)) + array_to_string
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - n,
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signatures: k independent permutations simulated by
+    * min(md5(seed || shingle)). Returns (id, band, minhash-concat) rows
+    * banded for LSH: docs sharing any band bucket are near-dup candidates.
+    * Band join is an equi-join on (band, sig) — broadcast-free, shuffles
+    * only the small signature table. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes)
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val hashes = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"seed$i:"), col("sh")))).as(s"h$i"))
+    val sig = sh.groupBy("id").agg(hashes.head, hashes.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("sig"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures (id1 < id2). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val b = minhashBands(docs, idCol, textCol, shingleN, numHashes, bands)
+    val l = b.select(col("band"), col("sig"), col("id").as("id1"))
+    val r = b.select(col("band"), col("sig"), col("id").as("id2"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verification
+    * stage after LSH, or standalone for small N): explode shingles,
+    * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("id").as("id1"), col("sh"))
+      .join(sh.select(col("id").as("id2"), col("sh")), "sh")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("j_raw", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j_raw") >= threshold) // filter on the raw value; round only for output
+      .select(col("id1"), col("id2"), round(col("j_raw"), 5).as("jaccard"))
+  }
+
+  /** SimHash (64-bit, as two 32-bit halves to stay in exact integer range
+    * for the SQL oracle): per token, 64 pseudo-random bits derived from
+    * md5 hex nibbles; per-bit weighted vote by token count; sign of the
+    * vote is the fingerprint bit. Near-dups = small Hamming distance. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", md5(col("tok")))
+    // bit i of the token hash = bit (i%4) of hex nibble i/4
+    val bitCols = (0 until 64).map { i =>
+      val nibble = conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(nibble.bitwiseAND(lit(1 << (i % 4))) > 0, col("w"))
+        .otherwise(-col("w"))).as(s"b$i")
+    }
+    val votes = tf.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val lo = (0 until 32).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val hi = (32 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << (i - 32))).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("id"), lo.as("simhash_lo"), hi.as("simhash_hi"))
+  }
+}

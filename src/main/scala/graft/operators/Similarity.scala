@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Brute-force cosine is the exact baseline; the scale
+  * path is LSH bucketing by random-hyperplane signs so only same-bucket
+  * pairs are compared (candidate volume drops ~2^planes-fold).
+  *
+  * Dot products use `aggregate(zip_with(...))` — pure codegen'd Catalyst
+  * expressions, no UDFs, so the whole pipeline stays whole-stage-codegen
+  * and oracle-checkable in SQL.
+  */
+object Similarity {
+
+  /** zip_with + aggregate dot product of two array<float/double> columns. */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def norm(a: org.apache.spark.sql.Column) =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  /** Exact brute-force cosine top-k neighbors for each query vector.
+    * Query side is small → broadcast; one pass over the corpus, top-k via
+    * per-query window rank (TakeOrdered per group). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // cast to double BEFORE multiplying: float*float would round to
+    // float32 while the SQL oracle multiplies doubles
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dot(col("qvec"), col("cvec")) / (norm(col("qvec")) * norm(col("cvec"))), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes derived from md5("p:i"):
+    * first 8 hex digits → uniform [0,1) → component u−0.5. Computed once
+    * on the driver and inlined as literals, so an SQL oracle can embed
+    * the exact same constants. */
+  def hyperplanes(dim: Int, planes: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, i) =>
+      md.reset()
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits over the hyperplanes.
+    * The dot product is a left-fold in element order (deterministic,
+    * reproducible term-by-term in SQL). */
+  def lshBucket(vecCol: org.apache.spark.sql.Column, hp: Array[Array[Double]]) = {
+    val bits = hp.zipWithIndex.map { case (w, p) =>
+      val d = w.zipWithIndex.map { case (wi, i) =>
+        element_at(vecCol, i + 1).cast("double") * lit(wi)
+      }.reduce(_ + _)
+      when(d >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine but only within matching buckets.
+    * The shuffle is an equi-join on the bucket id instead of a cross
+    * join — the 100 TB-scale path. Recall < 1 by construction; bump
+    * `planes` down or add band rotations for higher recall. */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = hyperplanes(dim, planes)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), hp))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), hp))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dot(col("qvec"), col("cvec")) / (norm(col("qvec")) * norm(col("cvec"))), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+  }
+}

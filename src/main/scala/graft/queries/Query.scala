@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.index.{BuiltIndex, Postings, Search}
+
+/** Parsed search query — the analogue of dcs's keyword rewrite
+  * (`cmd/dcs-web/search/query-rewrite.go:15-59`): bare terms, quoted
+  * phrases, `OR` groups, `lang:`/`site:` filters (dcs `package:`/`path:`),
+  * `-term` negation (dcs `-package:`). */
+final case class ParsedQuery(
+    andTerms: Seq[String],
+    orTerms: Seq[String],
+    phrases: Seq[Seq[String]],
+    negTerms: Seq[String],
+    lang: Option[String],
+    site: Option[String]) {
+  /** all positive scoring terms, lexicographically sorted (deterministic
+    * score-accumulation order) */
+  def scoringTerms: Seq[String] =
+    (andTerms ++ orTerms ++ phrases.flatten).distinct.sorted
+}
+
+object QueryParser {
+  def parse(q: String): ParsedQuery = {
+    val phraseRe = "\"([^\"]*)\"".r
+    val phrases = phraseRe.findAllMatchIn(q).map(m => Text.tokenize(m.group(1)).toSeq)
+      .filter(_.nonEmpty).toSeq
+    val rest = phraseRe.replaceAllIn(q, " ")
+    var lang: Option[String] = None
+    var site: Option[String] = None
+    val neg = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var orMode = false
+    rest.split("\\s+").filter(_.nonEmpty).foreach {
+      case t if t.toLowerCase.startsWith("lang:") => lang = Some(t.drop(5).toLowerCase)
+      case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5).toLowerCase)
+      case "OR" => orMode = true
+      case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(t.drop(1))
+      case t => pos ++= Text.tokenize(t)
+    }
+    if (orMode) ParsedQuery(Nil, pos.toSeq.distinct, phrases, neg.toSeq, lang, site)
+    else ParsedQuery(pos.toSeq.distinct, Nil, phrases, neg.toSeq, lang, site)
+  }
+}
+
+/** End-to-end query runner over a built index: candidate generation
+  * (AND/OR/phrase + restrict pushdown), metadata filters, negation
+  * anti-join, BM25 scoring, deterministic top-k, docmap join — the
+  * per-query lifecycle of `internal/sourcebackend/sourcebackend.go:293-641`
+  * expressed as one declarative Spark plan. */
+object QueryRunner {
+
+  /** Score candidate docs for `terms` from the index: decode matching
+    * posting blocks, restrict (left-semi) to candidates, join doc lengths,
+    * sum BM25 per doc. */
+  def scoreDocs(spark: SparkSession, idx: BuiltIndex, terms: Seq[String],
+      restrict: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val sorted = terms.distinct.sorted
+    if (sorted.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+    val stats = idx.termstats.filter(col("term").isin(sorted: _*))
+      .collect().map(t => t.term -> t.df).toMap
+    val n = idx.meta.nDocs
+    val avgdl = idx.meta.avgdl
+    val dps = idx.meta.docsPerShard
+    val dfMap = stats
+    val tfRows = idx.postings.filter(col("term").isin(sorted: _*))
+      .flatMap { b =>
+        val (ds, tfs) = Postings.decodeDocsTfs(b, dps)
+        Iterator.tabulate(ds.length)(i => (b.term, ds(i), tfs(i)))
+      }.toDF("term", "docId", "tf")
+    val restricted = restrict match {
+      case Some(r) => tfRows.join(r.select("docId"), Seq("docId"), "left_semi")
+      case None => tfRows
+    }
+    val withDf = restricted.withColumn("df",
+      coalesce(element_at(
+        typedLit(dfMap), col("term")), lit(0L)))
+    withDf
+      .join(idx.docmap.select(col("docId"), col("dl")), "docId")
+      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * col("tf") * lit(graft.functions.BM25.K1 + 1.0) /
+        (col("tf") + lit(graft.functions.BM25.K1) *
+          (lit(1.0 - graft.functions.BM25.B) +
+            lit(graft.functions.BM25.B) * col("dl") / lit(avgdl))))
+      .groupBy("docId").agg(sum("s").as("score"))
+  }
+
+  def run(spark: SparkSession, idx: BuiltIndex, q: String, k: Int): DataFrame = {
+    val p = QueryParser.parse(q)
+    val needsRestrict =
+      p.phrases.nonEmpty || p.negTerms.nonEmpty || p.lang.nonEmpty ||
+        p.site.nonEmpty || p.orTerms.nonEmpty
+    if (!needsRestrict && p.andTerms.nonEmpty) {
+      // pure ranked retrieval: the WAND fast path
+      return Search.topK(spark, idx, p.andTerms, k)
+        .join(idx.docmap.select("docId", "url"), "docId")
+        .select("docId", "url", "score")
+        .orderBy(col("score").desc, col("docId").asc)
+    }
+    // candidate generation
+    var cand: DataFrame =
+      if (p.orTerms.nonEmpty) Search.searchOr(spark, idx, p.orTerms)
+      else if (p.andTerms.nonEmpty) Search.searchAnd(spark, idx, p.andTerms)
+      else null
+    p.phrases.foreach { ph =>
+      val m = Search.phrase(spark, idx, ph)
+      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
+    }
+    if (cand == null) cand = idx.docmap.select("docId")
+    if (p.negTerms.nonEmpty)
+      cand = cand.join(Search.searchOr(spark, idx, p.negTerms), Seq("docId"), "left_anti")
+    val meta = idx.docmap.select(col("docId"), col("url"), col("lang"),
+      regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"))
+    var filtered = cand.join(meta, "docId")
+    p.lang.foreach(l => filtered = filtered.filter(col("lang") === l))
+    p.site.foreach(s => filtered = filtered.filter(col("host") === s))
+    val candidates = filtered.select("docId")
+    val scored = scoreDocs(spark, idx, p.scoringTerms, Some(candidates))
+    scored.join(meta.select("docId", "url"), "docId")
+      .select("docId", "url", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+}

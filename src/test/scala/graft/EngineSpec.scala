@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.PageGen
+import graft.functions.Text
+import graft.index.{IndexBuilder, IndexMerger, Search}
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val N = 600L
+  lazy val pages = PageGen.pages(spark, N, parallelism = 4).cache()
+  lazy val docs = pages.toDF()
+  lazy val idx = IndexBuilder.build(spark, docs,
+    IndexBuilder.Config(docsPerShard = 128, blockSize = 16, partitions = 4)).cache()
+  lazy val urlToDocId: Map[String, Long] =
+    idx.docmap.collect().map(d => d.url -> d.docId).toMap
+
+  test("per-row invariant: text == extractText(html), byte-identical") {
+    val bad = pages.filter(p => p.text != Text.extractText(p.html)).count()
+    assert(bad == 0)
+  }
+
+  test("corpus is deterministic across parallelism levels") {
+    val p1 = PageGen.pages(spark, 100, parallelism = 1).collect().sortBy(_.url)
+    val p7 = PageGen.pages(spark, 100, parallelism = 7).collect().sortBy(_.url)
+    assert(p1.length == p7.length)
+    p1.zip(p7).foreach { case (a, b) =>
+      assert(a.url == b.url && a.text == b.text && a.lang == b.lang
+        && a.warc_ts == b.warc_ts && java.util.Arrays.equals(a.html, b.html))
+    }
+  }
+
+  test("docIds are dense and follow url sort order") {
+    val entries = idx.docmap.collect().sortBy(_.docId)
+    assert(entries.length == N)
+    assert(entries.map(_.docId).toSeq == (0L until N).toSeq)
+    assert(entries.map(_.url).toSeq == entries.map(_.url).sorted.toSeq)
+    assert(entries.forall(d => d.shard == (d.docId / 128).toInt))
+  }
+
+  test("planted marker posting list is exact (qmarker3)") {
+    val expected = (0L until N).filter(_ % 1009 == 3)
+      .map(i => urlToDocId(PageGen.url(i))).sorted
+    val got = Search.searchAnd(spark, idx, Seq("qmarker3"))
+      .as[Long].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("AND intersects, OR unions (qmarker markers)") {
+    val d3 = (0L until N).filter(_ % 1009 == 3).map(i => urlToDocId(PageGen.url(i))).toSet
+    val d7 = (0L until N).filter(_ % 1009 == 7).map(i => urlToDocId(PageGen.url(i))).toSet
+    val and = Search.searchAnd(spark, idx, Seq("qmarker3", "qmarker7")).as[Long].collect().toSet
+    assert(and == (d3 intersect d7))
+    val or = Search.searchOr(spark, idx, Seq("qmarker3", "qmarker7")).as[Long].collect().toSet
+    assert(or == (d3 union d7))
+    // AND with a term with no postings at all -> empty
+    assert(Search.searchAnd(spark, idx, Seq("qmarker3", "zzqnohit")).count() == 0)
+  }
+
+  test("AND with common term restricts correctly (the + qmarker5)") {
+    val got = Search.searchAnd(spark, idx, Seq("the", "qmarker5")).as[Long].collect().toSet
+    val marker = (0L until N).filter(_ % 1009 == 5).map(i => urlToDocId(PageGen.url(i))).toSet
+    val withThe = Search.searchAnd(spark, idx, Seq("the")).as[Long].collect().toSet
+    assert(got == (marker intersect withThe))
+  }
+
+  test("WAND top-k is rank-identical to the brute-force oracle") {
+    val queries = Seq(
+      Seq("qmarker3"), Seq("qmarker3", "qmarker7"), Seq("the", "qmarker5"),
+      Seq("the", "of", "and"), Seq("needlealpha"), Seq("qmarker1", "qmarker2"))
+    for (q <- queries) {
+      val wand = Search.topK(spark, idx, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val brute = Search.bruteForceTopK(spark, docs
+        .join(idx.docmap.select("docId", "url"), "url")
+        .select("docId", "text"), q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(wand.map(_._1).toSeq == brute.map(_._1).toSeq,
+        s"docId order mismatch for query $q:\nwand=${wand.toSeq}\nbrute=${brute.toSeq}")
+      wand.zip(brute).foreach { case ((_, s1), (_, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-9, s"score mismatch for $q: $s1 vs $s2")
+      }
+    }
+  }
+
+  test("no-hit query returns empty") {
+    assert(Search.topK(spark, idx, Seq("zzqnohit"), 10).count() == 0)
+  }
+
+  test("phrase query finds planted bigram exactly") {
+    val expected = (0L until N).filter(_ % 211 == 5)
+      .map(i => urlToDocId(PageGen.url(i))).toSet
+    val got = Search.phrase(spark, idx, Seq("data", "processing")).as[Long].collect().toSet
+    assert(got == expected)
+    // scrambled order must not match
+    val none = Search.phrase(spark, idx, Seq("processing", "data")).as[Long].collect().toSet
+    assert((none intersect expected).isEmpty || none != expected)
+  }
+
+  test("trigram substring search finds needleAlpha in doc 137 (case-exact)") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    val got = Search.substring(spark, idx, docsWithIds, "needleAlpha")
+      .as[Long].collect().toSeq
+    assert(got == Seq(urlToDocId(PageGen.url(137))))
+    // lowercase variant is a different byte string -> no match
+    assert(Search.substring(spark, idx, docsWithIds, "nEEdleAlpha").count() == 0)
+  }
+
+  test("merge(shards) is equivalent to build(union) — ConcatN property") {
+    val all = docs.orderBy("url").collect()
+    val third = all.length / 3
+    val ranges = Seq(all.slice(0, third), all.slice(third, 2 * third),
+      all.slice(2 * third, all.length))
+    val cfg = IndexBuilder.Config(docsPerShard = 128, blockSize = 16,
+      partitions = 4, buildTrigrams = false)
+    val parts = ranges.map { rows =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), docs.schema)
+      IndexBuilder.build(spark, df, cfg)
+    }
+    val merged = IndexMerger.merge(spark, parts, cfg)
+    val direct = IndexBuilder.build(spark, docs, cfg)
+    assert(merged.meta.nDocs == direct.meta.nDocs)
+    assert(math.abs(merged.meta.avgdl - direct.meta.avgdl) < 1e-9)
+    // docmaps identical
+    val dm1 = merged.docmap.collect().sortBy(_.docId).map(d => (d.docId, d.url, d.shard, d.dl)).toSeq
+    val dm2 = direct.docmap.collect().sortBy(_.docId).map(d => (d.docId, d.url, d.shard, d.dl)).toSeq
+    assert(dm1 == dm2)
+    // posting blocks byte-identical
+    def key(b: graft.index.PostingBlock) = (b.term, b.shard, b.blockId)
+    def repr(b: graft.index.PostingBlock) =
+      (b.term, b.shard, b.blockId, b.df, b.cf, b.maxTf, b.firstDoc, b.lastDoc,
+        b.docs.toSeq, b.tfs.toSeq, b.nPos, b.pos.toSeq, b.posrel.toSeq)
+    val p1 = merged.postings.collect().sortBy(key).map(repr).toSeq
+    val p2 = direct.postings.collect().sortBy(key).map(repr).toSeq
+    assert(p1 == p2)
+  }
+
+  test("compression: encoded postings much smaller than raw 4-byte ids") {
+    val (encoded, rawIds) = idx.postings.collect()
+      .map(b => (b.docs.length.toLong + b.tfs.length, b.df * 8L))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(encoded < rawIds, s"encoded=$encoded raw=$rawIds")
+  }
+}
