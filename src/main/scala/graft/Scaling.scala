@@ -20,34 +20,36 @@ object Scaling {
     val nLow = args.lift(1).map(_.toInt).getOrElse(8)
     val nHigh = args.lift(2).map(_.toInt).getOrElse(32)
 
-    def buildOnce(cores: Int): Double = {
+    def buildOnce(cores: Int, docs: Long = nDocs): Double = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.shuffle.partitions", (cores * 4).toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
       val t0 = System.nanoTime()
-      val pages = PageGen.pages(spark, nDocs, parallelism = cores * 4)
-      val idx = IndexBuilder.build(spark,
-        pages.toDF().select("url", "text", "lang"),
+      val pages = PageGen.pages(spark, docs, parallelism = cores * 4)
+      // persistent build: every artifact materialized exactly once
+      // (parquet-out), which is what a production build job does
+      IndexBuilder.buildPersistent(spark,
+        pages.toDF().select("url", "text", "lang"), dir,
         IndexBuilder.Config(
-          docsPerShard = math.max(1L, nDocs / (cores * 4L)),
+          docsPerShard = math.max(1L, docs / (cores * 4L)),
           blockSize = 256,
           buildTrigrams = false,
           partitions = cores * 4))
-      // materialize every index table (the full build job)
-      idx.postings.count(); idx.docnorms.count(); idx.termstats.count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       sec
     }
 
     // warm JVM/JIT with a small build so the measured runs compare fairly
-    buildOnce(nLow.min(4))
+    buildOnce(nLow.min(4), docs = nDocs / 10)
 
     val tLow = buildOnce(nLow)
     val tHigh = buildOnce(nHigh)

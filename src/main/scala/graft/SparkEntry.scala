@@ -62,6 +62,7 @@ object SparkEntry {
   val PhraseTerms = Seq("data", "customer")
   val SubstringLit = "fast table"
   val TriLiterals = Seq("dat", "tab", "fas")
+  val RegexPattern = "qu[ae]ry|sc[ao]n"
 
   def entry(spark: SparkSession): DataFrame =
     QueryRunner.run(spark, index(spark, "/root/testdata/sf0.001"), "data table join", 10)
@@ -121,6 +122,10 @@ object SparkEntry {
     // trigram index + positional refinement + exact verification (X2/X3)
     "q_substring" -> ((s, dir) =>
       Search.substring(s, index(s, dir), docsWithIds(s, dir), SubstringLit)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // X1+X2: regexp → trigram query → index eval → rlike verification
+    "q_regexp" -> ((s, dir) =>
+      Search.regexpSearch(s, index(s, dir), docsWithIds(s, dir), RegexPattern)
         .select(col("docId").as("docid")).orderBy("docid")),
     // trigram docid sections for selected trigrams
     "q_trigram_postings" -> ((s, dir) => {
@@ -372,6 +377,9 @@ object SparkEntry {
          |ORDER BY a.docid""".stripMargin,
     "q_substring" ->
       s"""$P SELECT docid FROM ids WHERE strpos(text, '$SubstringLit') > 0
+         |ORDER BY docid""".stripMargin,
+    "q_regexp" ->
+      s"""$P SELECT docid FROM ids WHERE regexp_matches(text, '$RegexPattern')
          |ORDER BY docid""".stripMargin,
     "q_trigram_postings" ->
       s"""$P, tris AS (

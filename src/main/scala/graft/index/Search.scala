@@ -331,6 +331,77 @@ object Search {
       .select("docId")
   }
 
+  /** Regexp search: compile the pattern to a conservative trigram query
+    * (X1), evaluate the AND/OR tree over the trigram index per shard
+    * (J1/J2 on docid sections), then verify candidates with the real
+    * regexp engine (`rlike`, Catalyst-native — the X2/X3 grep stage).
+    * Queries whose trigram query is ALL fall back to a full verification
+    * scan (dcs rejects those instead, `cmd/dcs-web/dcs-web.go:98-120`).
+    */
+  def regexpSearch(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
+      pattern: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.{TriQuery, TrigramCompiler}
+    val q = TrigramCompiler.compile(pattern)
+    val verified: DataFrame => DataFrame =
+      cand => cand.join(docs, "docId").filter(col("text").rlike(pattern)).select("docId")
+
+    if (q.op == TriQuery.QNone)
+      return spark.emptyDataset[Long].toDF("docId")
+
+    def triKey(s: String): Option[Int] = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (b.length == 3)
+        Some(((b(0) & 0xff) << 16) | ((b(1) & 0xff) << 8) | (b(2) & 0xff))
+      else None // non-byte-trigram (multibyte chars): can't use the index
+    }
+    val wanted = q.allTrigrams.toSeq.sorted
+    val keys = wanted.flatMap(triKey)
+    if (q.op == TriQuery.QAll || keys.length < wanted.length || idx.trigrams.isEmpty)
+      return verified(idx.docmap.select(col("docId"))) // full-scan fallback
+
+    val keyOf: Map[String, Int] = wanted.zip(keys).toMap
+    val dps = idx.meta.docsPerShard
+    val tri = idx.trigrams.get
+    val candidates = tri.filter(col("tri").isin(keys.map(Integer.valueOf): _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val lists: Map[Int, Array[Long]] = it.toArray.groupBy(_.tri).map {
+          case (t, bs) => t -> bs.sortBy(_.firstDoc).flatMap(b => Postings.decodeTriDocs(b, dps))
+        }
+        // evaluate the boolean tree; None = unrestricted (ALL)
+        def eval(node: TriQuery): Option[Array[Long]] = node.op match {
+          case TriQuery.QAll => None
+          case TriQuery.QNone => Some(Array.empty[Long])
+          case TriQuery.QAnd =>
+            val parts = node.trigram.map(t => Some(lists.getOrElse(keyOf(t), Array.empty[Long]))) ++
+              node.sub.map(eval)
+            val known = parts.flatten
+            if (known.isEmpty) None
+            else Some(known.sortBy(_.length).reduce(intersectSorted))
+          case TriQuery.QOr =>
+            val parts = node.trigram.map(t => Some(lists.getOrElse(keyOf(t), Array.empty[Long]))) ++
+              node.sub.map(eval)
+            if (parts.exists(_.isEmpty)) None
+            else Some(parts.flatten.foldLeft(Array.empty[Long])(unionSorted))
+        }
+        eval(q).map(_.iterator).getOrElse(Iterator.empty)
+      }
+      .toDF("docId")
+    verified(candidates)
+  }
+
+  private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var i = 0; var j = 0
+    while (i < a.length || j < b.length) {
+      if (j >= b.length || (i < a.length && a(i) < b(j))) { out += a(i); i += 1 }
+      else if (i >= a.length || b(j) < a(i)) { out += b(j); j += 1 }
+      else { out += a(i); i += 1; j += 1 }
+    }
+    out.result()
+  }
+
   /** Independent brute-force BM25 scorer (the rank-identity oracle,
     * FIXTURES.md §2): tokenizes from scratch with DataFrame ops only —
     * shares no code with the index path. */

@@ -1,0 +1,210 @@
+package graft.queries
+
+/** Minimal regexp AST + parser for the trigram compiler. Supports the
+  * practical subset: literals, '.', char classes (ranges, negation,
+  * \d\w\s escapes), alternation, groups (capturing / (?:..) / (?i) flag),
+  * quantifiers * + ? {m} {m,} {m,n}, anchors ^ $ \b \B \A \z, escapes.
+  * Literal runs are coalesced into one [[Regex.Lit]] node (like Go's
+  * regexp/syntax) — the analyzer's exact-set math depends on it.
+  */
+object Regex {
+  sealed trait Node
+  case object Empty extends Node
+  case object NoMatch extends Node
+  case object AnyChar extends Node
+  case object Anchor extends Node // ^ $ \b \B \A \z — zero-width
+  final case class Lit(s: String, foldCase: Boolean) extends Node
+  final case class Cls(ranges: Vector[(Char, Char)], negated: Boolean) extends Node
+  final case class Cat(subs: Vector[Node]) extends Node
+  final case class Alt(subs: Vector[Node]) extends Node
+  final case class Star(sub: Node) extends Node
+  final case class Plus(sub: Node) extends Node
+  final case class Quest(sub: Node) extends Node
+  final case class Rep(sub: Node, min: Int, max: Int) extends Node // max = -1: unbounded
+
+  final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  def parse(pattern: String): Node = new Parser(pattern).parseTop()
+
+  private final class Parser(s: String) {
+    private var pos = 0
+    private var foldCase = false
+
+    def parseTop(): Node = {
+      val n = parseAlt()
+      if (pos < s.length) throw ParseError(s"unexpected '${s.charAt(pos)}' at $pos")
+      n
+    }
+
+    private def parseAlt(): Node = {
+      val subs = scala.collection.mutable.ArrayBuffer(parseCat())
+      while (pos < s.length && s.charAt(pos) == '|') {
+        pos += 1
+        subs += parseCat()
+      }
+      if (subs.size == 1) subs.head else Alt(subs.toVector)
+    }
+
+    private def parseCat(): Node = {
+      val subs = scala.collection.mutable.ArrayBuffer.empty[Node]
+      val lit = new StringBuilder
+      def flushLit(): Unit = if (lit.nonEmpty) {
+        subs += Lit(lit.toString, foldCase); lit.clear()
+      }
+      def flushLastForRepeat(): Node = {
+        // a repeat binds to the last single char of a literal run
+        if (lit.nonEmpty) {
+          val last = lit.charAt(lit.length - 1)
+          lit.setLength(lit.length - 1)
+          flushLit()
+          Lit(last.toString, foldCase)
+        } else if (subs.nonEmpty) {
+          val last = subs.remove(subs.size - 1)
+          last
+        } else throw ParseError(s"quantifier with nothing to repeat at $pos")
+      }
+      while (pos < s.length && s.charAt(pos) != '|' && s.charAt(pos) != ')') {
+        s.charAt(pos) match {
+          case '(' =>
+            flushLit()
+            subs += parseGroup()
+          case '[' =>
+            flushLit()
+            subs += parseClass()
+          case '.' => flushLit(); subs += AnyChar; pos += 1
+          case '^' | '$' => flushLit(); subs += Anchor; pos += 1
+          case '*' => val a = flushLastForRepeat(); subs += Star(a); pos += 1
+          case '+' => val a = flushLastForRepeat(); subs += Plus(a); pos += 1
+          case '?' => val a = flushLastForRepeat(); subs += Quest(a); pos += 1
+          case '{' =>
+            val close = s.indexOf('}', pos)
+            if (close < 0) { lit.append('{'); pos += 1 }
+            else {
+              val body = s.substring(pos + 1, close)
+              val m = "^(\\d+)(,(\\d*))?$".r.findFirstMatchIn(body)
+              m match {
+                case Some(g) =>
+                  val a = flushLastForRepeat()
+                  val min = g.group(1).toInt
+                  val max =
+                    if (g.group(2) == null) min
+                    else if (g.group(3).isEmpty) -1
+                    else g.group(3).toInt
+                  subs += Rep(a, min, max)
+                  pos = close + 1
+                case None => lit.append('{'); pos += 1
+              }
+            }
+          case '\\' =>
+            pos += 1
+            if (pos >= s.length) throw ParseError("trailing backslash")
+            s.charAt(pos) match {
+              case 'b' | 'B' | 'A' | 'z' => flushLit(); subs += Anchor; pos += 1
+              case 'd' => flushLit(); subs += Cls(Vector(('0', '9')), negated = false); pos += 1
+              case 'D' => flushLit(); subs += Cls(Vector(('0', '9')), negated = true); pos += 1
+              case 'w' => flushLit(); subs += wordCls; pos += 1
+              case 'W' => flushLit(); subs += wordCls.copy(negated = true); pos += 1
+              case 's' => flushLit(); subs += spaceCls; pos += 1
+              case 'S' => flushLit(); subs += spaceCls.copy(negated = true); pos += 1
+              case 'n' => lit.append('\n'); pos += 1
+              case 't' => lit.append('\t'); pos += 1
+              case 'r' => lit.append('\r'); pos += 1
+              case c => lit.append(c); pos += 1
+            }
+          case c => lit.append(c); pos += 1
+        }
+      }
+      flushLit()
+      if (subs.isEmpty) Empty
+      else if (subs.size == 1) subs.head
+      else Cat(subs.toVector)
+    }
+
+    private val wordCls = Cls(Vector(('0', '9'), ('A', 'Z'), ('_', '_'), ('a', 'z')), negated = false)
+    private val spaceCls = Cls(Vector(('\t', '\n'), ('\f', '\r'), (' ', ' ')), negated = false)
+
+    private def parseGroup(): Node = {
+      pos += 1 // consume '('
+      if (s.startsWith("?:", pos)) pos += 2
+      else if (s.startsWith("?i)", pos)) { foldCase = true; pos += 3; return Empty }
+      else if (s.startsWith("?s)", pos)) { pos += 3; return Empty }
+      val n = parseAlt()
+      if (pos >= s.length || s.charAt(pos) != ')') throw ParseError("missing )")
+      pos += 1
+      n
+    }
+
+    private def parseClass(): Node = {
+      pos += 1 // consume '['
+      var negated = false
+      if (pos < s.length && s.charAt(pos) == '^') { negated = true; pos += 1 }
+      val ranges = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+      var first = true
+      while (pos < s.length && (s.charAt(pos) != ']' || first)) {
+        first = false
+        var lo: Char = s.charAt(pos)
+        if (lo == '\\' && pos + 1 < s.length) {
+          pos += 1
+          s.charAt(pos) match {
+            case 'd' => ranges += (('0', '9')); pos += 1; lo = 0
+            case 'w' => ranges ++= wordCls.ranges; pos += 1; lo = 0
+            case 's' => ranges ++= spaceCls.ranges; pos += 1; lo = 0
+            case 'S' => // [^\s\S]-style: approximate \S inside class as "everything else"
+              ranges += ((Char.MinValue, Char.MaxValue)); pos += 1; lo = 0
+            case 'D' | 'W' => ranges += ((Char.MinValue, Char.MaxValue)); pos += 1; lo = 0
+            case 'n' => lo = '\n'; pos += 1
+            case 't' => lo = '\t'; pos += 1
+            case c => lo = c; pos += 1
+          }
+          if (lo == 0) { /* meta class consumed */ }
+          else addRange(ranges, lo)
+        } else {
+          pos += 1
+          addRange(ranges, lo)
+        }
+      }
+      if (pos >= s.length) throw ParseError("missing ]")
+      pos += 1 // consume ']'
+      val folded =
+        if (foldCase)
+          ranges.toVector.flatMap { case (a, b) =>
+            Vector((a, b)) ++ foldRange(a, b)
+          }
+        else ranges.toVector
+      // [^\s\S]: negated class whose ranges cover everything -> no match
+      if (negated && coversAll(folded)) NoMatch
+      else Cls(normalize(folded), negated)
+    }
+
+    private def addRange(buf: scala.collection.mutable.ArrayBuffer[(Char, Char)], lo: Char): Unit = {
+      if (pos + 1 < s.length && s.charAt(pos) == '-' && s.charAt(pos + 1) != ']') {
+        val hi = s.charAt(pos + 1)
+        pos += 2
+        buf += ((lo, hi))
+      } else buf += ((lo, lo))
+    }
+
+    private def foldRange(a: Char, b: Char): Vector[(Char, Char)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+      var c = a
+      while (c <= b && c < 0x80) {
+        if (c.isLower) out += ((c.toUpper, c.toUpper))
+        if (c.isUpper) out += ((c.toLower, c.toLower))
+        c = (c + 1).toChar
+      }
+      out.toVector
+    }
+
+    private def coversAll(rs: Vector[(Char, Char)]): Boolean =
+      rs.exists { case (a, b) => a == Char.MinValue && b == Char.MaxValue }
+
+    private def normalize(rs: Vector[(Char, Char)]): Vector[(Char, Char)] =
+      rs.sortBy(_._1).foldLeft(Vector.empty[(Char, Char)]) { (acc, r) =>
+        acc.lastOption match {
+          case Some((a, b)) if r._1 <= (b + 1).toChar && b >= r._1 - 1 =>
+            acc.init :+ ((a, if (r._2 > b) r._2 else b))
+          case _ => acc :+ r
+        }
+      }
+  }
+}

@@ -125,6 +125,21 @@ class EngineSpec extends AnyFunSuite {
     assert(Search.substring(spark, idx, docsWithIds, "nEEdleAlpha").count() == 0)
   }
 
+  test("regexp search via trigram index matches java.util.regex ground truth") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    for (pattern <- Seq("needle[A-Z]lpha", "qmarker[12] section", "data process(ing|or)")) {
+      val got = Search.regexpSearch(spark, idx, docsWithIds, pattern)
+        .as[Long].collect().sorted.toSeq
+      val p = java.util.regex.Pattern.compile(pattern)
+      val expected = docsWithIds.collect()
+        .filter(r => p.matcher(r.getString(1)).find())
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"pattern $pattern")
+      assert(expected.nonEmpty, s"vacuous pattern $pattern")
+    }
+  }
+
   test("merge(shards) is equivalent to build(union) — ConcatN property") {
     val all = docs.orderBy("url").collect()
     val third = all.length / 3

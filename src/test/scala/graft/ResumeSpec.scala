@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.PageGen
+import graft.index.{IndexBuilder, Search}
+
+/** Checkpoint/resume + lineage (north rule): a killed build resumes from
+  * per-stage commit markers, skipping committed work; per-partition
+  * lineage sidecars are written next to the index. */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-idx").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("persistent build commits stages, resume skips them all") {
+    val dir = tmpDir()
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    val ran1 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    assert(ran1 == 5) // docmap, docnorms, postings, termstats, trigrams
+    val ran2 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    assert(ran2 == 0) // fully resumed
+
+    // lineage sidecars exist and carry metrics
+    val lineage = new java.io.File(s"$dir/_lineage/postings").listFiles()
+    assert(lineage != null && lineage.nonEmpty)
+    val json = java.nio.file.Files.readString(lineage.head.toPath)
+    assert(json.contains("\"rows\":") && json.contains("\"encodedBytes\":"))
+  }
+
+  test("crash-suffix resume reruns only uncommitted stages") {
+    val dir = tmpDir()
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    // simulate a crash after docnorms: drop the marker suffix
+    Seq("postings", "termstats", "trigrams").foreach { st =>
+      new java.io.File(s"$dir/_COMMITTED_$st").delete()
+    }
+    val ran = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    assert(ran == 3)
+  }
+
+  test("loaded index answers queries identically to in-memory build") {
+    val dir = tmpDir()
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    val loaded = IndexBuilder.load(spark, dir)
+    val mem = IndexBuilder.build(spark, docs, cfg)
+    val q = Seq("the", "qmarker5")
+    val a = Search.topK(spark, loaded, q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Search.topK(spark, mem, q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(loaded.meta.nDocs == 300)
+  }
+}
