@@ -84,7 +84,12 @@ object Text {
     * (write.go:143-147,163-214): ≥3 bytes, ≤1 GiB, no line longer than
     * 2000 bytes, ≤20k distinct trigrams. (UTF-8 validity is implied for
     * String inputs.) */
-  def indexable(text: String): Boolean = {
+  def indexable(text: String): Boolean =
+    indexableReusing(text, new java.util.BitSet(1 << 24))
+
+  /** Allocation-free variant for hot loops: the caller supplies the
+    * 2 MiB distinct-trigram bitset, reused across documents. */
+  def indexableReusing(text: String, seen: java.util.BitSet): Boolean = {
     val b = text.getBytes(StandardCharsets.UTF_8)
     if (b.length < 3 || b.length > MaxFileLen) return false
     var lineLen = 0
@@ -94,8 +99,7 @@ object Text {
       else { lineLen += 1; if (lineLen > MaxLineLen) return false }
       i += 1
     }
-    // distinct-trigram cap; bitset over 2^24 = 2 MiB, reused per call
-    val seen = new java.util.BitSet(1 << 24)
+    seen.clear()
     var distinct = 0
     var tv = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
     i = 2

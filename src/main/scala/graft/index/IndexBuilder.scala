@@ -26,70 +26,201 @@ final case class BuiltIndex(
   }
 }
 
-/** Streaming posting-block encoder: consumes (term, shard, localDoc, pos)
-  * tuples sorted by exactly that order and emits [[PostingBlock]]s of at
-  * most `blockSize` docs. Memory is O(blockSize), independent of the
-  * term's total df — the spill-safe answer to hot terms (SURVEY §7.3).
-  */
-private final class BlockEncoder(
-    term: String, shard: Int, docsPerShard: Long, blockSize: Int,
-    withPositions: Boolean) {
-  private val docsBuf = new Array[Int](blockSize)
-  private val tfsBuf = new Array[Int](blockSize)
-  private var nDocs = 0
-  private var blockId = 0
-  private var posBuf = new Varint.Buf(64)
-  private var relByte = 0; private var relBits = 0
-  private var relBuf = new Varint.Buf(16)
-  private var nPos = 0
-  private var prevPos = 0
-  private var curDoc = -1
-  private var curTf = 0
-  private var maxTf = 0
-  private var cf = 0L
-  private val out = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+/** Growable primitive int buffer (no boxing). */
+private final class IntBuf(initial: Int = 8) {
+  private var arr = new Array[Int](initial)
+  var len = 0
+  def add(v: Int): Unit = {
+    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(len) = v; len += 1
+  }
+  def apply(i: Int): Int = arr(i)
+  def incrLast(): Unit = arr(len - 1) += 1
+  def slice(from: Int, until: Int): Array[Int] =
+    java.util.Arrays.copyOfRange(arr, from, until)
+}
 
-  private def pushRelBit(b: Int): Unit = {
-    relByte |= b << relBits; relBits += 1
-    if (relBits == 8) { relBuf.putByte(relByte.toByte); relByte = 0; relBits = 0 }
+/** Accumulated postings of one term (or trigram) within one shard.
+  * add() must see docs ascending; positions ascending within a doc. */
+private final class PostingAcc {
+  val docs = new IntBuf(4)
+  val tfs = new IntBuf(4)
+  val poss = new IntBuf(4)
+  val docStartIdx = new IntBuf(4) // offset into poss where each doc's run begins
+  var lastDoc: Int = -1
+  def add(doc: Int, pos: Int): Unit = {
+    if (doc != lastDoc) {
+      docs.add(doc); tfs.add(1); docStartIdx.add(poss.len); lastDoc = doc
+    } else tfs.incrLast()
+    poss.add(pos)
   }
 
-  private def closeDoc(): Unit = if (curDoc >= 0) {
-    docsBuf(nDocs) = curDoc; tfsBuf(nDocs) = curTf; nDocs += 1
-    if (curTf > maxTf) maxTf = curTf
-    cf += curTf
-    curTf = 0
-  }
-
-  private def flushBlock(): Unit = if (nDocs > 0) {
-    if (relBits > 0) { relBuf.putByte(relByte.toByte); relByte = 0; relBits = 0 }
-    val base = shard.toLong * docsPerShard
-    out += PostingBlock(
-      term, shard, blockId, nDocs, cf, maxTf,
-      base + docsBuf(0), base + docsBuf(nDocs - 1),
-      Varint.encodeDeltas(java.util.Arrays.copyOf(docsBuf, nDocs)),
-      Varint.encodeInts(java.util.Arrays.copyOf(tfsBuf, nDocs)),
-      nPos,
-      if (withPositions) posBuf.result() else Array.emptyByteArray,
-      if (withPositions) relBuf.result() else Array.emptyByteArray)
-    blockId += 1; nDocs = 0; maxTf = 0; cf = 0L; nPos = 0
-    posBuf = new Varint.Buf(64); relBuf = new Varint.Buf(16)
-  }
-
-  def add(localDoc: Int, pos: Int): Unit = {
-    if (localDoc != curDoc) {
-      closeDoc()
-      if (nDocs == blockSize) flushBlock()
-      curDoc = localDoc
-      prevPos = 0
-      if (withPositions) { posBuf.putVarint((pos - prevPos).toLong); prevPos = pos; nPos += 1; pushRelBit(1) }
-    } else if (withPositions) {
-      posBuf.putVarint((pos - prevPos).toLong); prevPos = pos; nPos += 1; pushRelBit(0)
+  /** Cut into blocks of ≤ blockSize docs; emit via the caller's builder. */
+  def toBlocks[B](blockSize: Int, withPositions: Boolean)(
+      mk: (Int, Int, Array[Int], Array[Int], Long, Int, Array[Byte], Array[Byte], Int) => B): Iterator[B] = {
+    val nDocs = docs.len
+    Iterator.tabulate((nDocs + blockSize - 1) / blockSize) { blockId =>
+      val from = blockId * blockSize
+      val until = math.min(nDocs, from + blockSize)
+      val docsArr = docs.slice(from, until)
+      val tfsArr = tfs.slice(from, until)
+      var cf = 0L; var maxTf = 0
+      tfsArr.foreach { t => cf += t; if (t > maxTf) maxTf = t }
+      val (posBytes, relBytes, nPos) =
+        if (!withPositions) (Array.emptyByteArray, Array.emptyByteArray, 0)
+        else {
+          val pFrom = docStartIdx(from)
+          val pUntil = if (until == nDocs) poss.len else docStartIdx(until)
+          val posSlice = poss.slice(pFrom, pUntil)
+          val docOfPos = new Array[Int](posSlice.length)
+          var d = from
+          var i = 0
+          while (i < posSlice.length) {
+            while (d + 1 < until && docStartIdx(d + 1) - pFrom <= i) d += 1
+            docOfPos(i) = docsArr(d - from)
+            i += 1
+          }
+          val run = Varint.encodePositions(docOfPos, posSlice)
+          (run.pos, run.posrel, run.n)
+        }
+      mk(blockId, docsArr.length, docsArr, tfsArr, cf, maxTf, posBytes, relBytes, nPos)
     }
-    curTf += 1
+  }
+}
+
+/** Open-addressing term → PostingAcc map that looks keys up directly from
+  * a (string, start, end) slice — the hot loop allocates NO per-token
+  * Strings (one String materializes per distinct term per shard only).
+  * At web scale the posting build is this loop; allocation rate is the
+  * scaling bottleneck of the whole job. */
+private final class TermMap(initialCapacity: Int = 1 << 12) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+  private var mask = cap - 1
+  private var keys = new Array[String](cap)
+  private var vals = new Array[PostingAcc](cap)
+  var size = 0
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap *= 2; mask = cap - 1
+    keys = new Array[String](cap); vals = new Array[PostingAcc](cap)
+    var i = 0
+    while (i < ok.length) {
+      val k = ok(i)
+      if (k != null) {
+        var idx = k.hashCode & mask
+        while (keys(idx) != null) idx = (idx + 1) & mask
+        keys(idx) = k; vals(idx) = ov(i)
+      }
+      i += 1
+    }
   }
 
-  def finish(): Seq[PostingBlock] = { closeDoc(); flushBlock(); out.toSeq }
+  /** slice hash identical to String.hashCode over [start,end) */
+  def getOrInsert(s: String, start: Int, end: Int): PostingAcc = {
+    var h = 0
+    var i = start
+    while (i < end) { h = h * 31 + s.charAt(i); i += 1 }
+    var idx = h & mask
+    while (true) {
+      val k = keys(idx)
+      if (k == null) {
+        if (size * 4 >= cap * 3) { grow(); return getOrInsert(s, start, end) }
+        val key = s.substring(start, end)
+        val acc = new PostingAcc
+        keys(idx) = key; vals(idx) = acc; size += 1
+        return acc
+      } else if (k.length == end - start && k.regionMatches(0, s, start, end - start)) {
+        return vals(idx)
+      }
+      idx = (idx + 1) & mask
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def sortedEntries: Array[(String, PostingAcc)] = {
+    val out = new Array[(String, PostingAcc)](size)
+    var i = 0; var w = 0
+    while (i < keys.length) {
+      if (keys(i) != null) { out(w) = (keys(i), vals(i)); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out, Ordering.by[(String, PostingAcc), String](_._1))
+    out
+  }
+}
+
+/** Per-shard in-memory posting builder — the dcs per-package index build
+  * (`cmd/dcs-package-importer/importer.go:392-469`): one task indexes one
+  * doc-shard entirely locally, so there is NO global occurrence shuffle
+  * and hot terms cost nothing extra (each shard holds at most
+  * docsPerShard docs of any term). Memory is O(occurrences in shard),
+  * bounded by docsPerShard — size shards to the task memory budget. */
+private final class ShardIndexer(shard: Int, docsPerShard: Long, blockSize: Int) {
+  private val terms = new TermMap()
+
+  def add(term: String, localDoc: Int, pos: Int): Unit =
+    terms.getOrInsert(term, 0, term.length).add(localDoc, pos)
+
+  /** Tokenize-and-add straight from the lowercased text — zero per-token
+    * allocation (tokens = maximal [a-z0-9] runs, Text.tokenize semantics). */
+  def addDoc(localDoc: Int, text: String): Unit = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var i = 0
+    var tokIdx = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        terms.getOrInsert(s, start, i).add(localDoc, tokIdx)
+        tokIdx += 1
+      } else i += 1
+    }
+  }
+
+  def finish(withPositions: Boolean): Iterator[PostingBlock] = {
+    val base = shard.toLong * docsPerShard
+    terms.sortedEntries.iterator.flatMap { case (term, acc) =>
+      acc.toBlocks(blockSize, withPositions) {
+        (blockId, df, docsArr, tfsArr, cf, maxTf, posB, relB, nPos) =>
+          PostingBlock(term, shard, blockId, df, cf, maxTf,
+            base + docsArr(0), base + docsArr(df - 1),
+            Varint.encodeDeltas(docsArr), Varint.encodeInts(tfsArr),
+            nPos, posB, relB)
+      }
+    }
+  }
+}
+
+/** Trigram variant keyed by the packed 24-bit trigram via an unboxed
+  * LongMap. The all-spaces trigram keeps its docid section but drops the
+  * positional sections (dcs write.go:346, merge.go:366,432). */
+private final class TriShardIndexer(shard: Int, docsPerShard: Long, blockSize: Int) {
+  private val tris = scala.collection.mutable.LongMap.empty[PostingAcc]
+
+  def add(tri: Int, localDoc: Int, pos: Int): Unit =
+    tris.getOrElseUpdate(tri.toLong, new PostingAcc).add(localDoc, pos)
+
+  def finish(): Iterator[TriBlock] = {
+    val base = shard.toLong * docsPerShard
+    val keys = tris.keysIterator.toArray.sorted
+    keys.iterator.flatMap { triL =>
+      val tri = triL.toInt
+      val withPos = tri != Text.AllSpaces
+      tris(triL).toBlocks(blockSize, withPos) {
+        (blockId, df, docsArr, _, _, _, posB, relB, nPos) =>
+          TriBlock(tri, shard, blockId, df,
+            base + docsArr(0), base + docsArr(df - 1),
+            Varint.encodeDeltas(docsArr), nPos, posB, relB)
+      }
+    }
+  }
 }
 
 object IndexBuilder {
@@ -163,27 +294,49 @@ object IndexBuilder {
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)
   }
 
-  /** Tokens → sorted (term, shard, localDoc, pos) → streaming block encode.
-    * The (term, shard) shuffle key is the structural salt: a hot term is
-    * spread over all doc-shards, so no single reducer sees more than
-    * docsPerShard postings of it. */
+  /** Token postings via per-shard local indexing (the dcs per-package
+    * build): ONE row-level shuffle of documents to their shard, then each
+    * task builds its shard's entire posting set in memory — no global
+    * occurrence shuffle, no term skew (a hot term contributes at most
+    * docsPerShard postings per task). Size docsPerShard to the task
+    * memory budget (dcs sizes shards the same way, howto/index.md:12-15). */
   def encodeTokenPostings(
       spark: SparkSession,
       withIds: Dataset[(Long, String, String, String)],
       dps: Long,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
-    val toks = withIds.flatMap { case (id, _, text, _) =>
-      val shard = (id / dps).toInt
-      val local = (id - shard * dps).toInt
-      val t = Text.tokenize(text)
-      Iterator.tabulate(t.length)(p => (t(p), shard, local, p))
-    }.toDF("term", "shard", "doc", "pos")
-    encodeOccurrences(spark, toks, dps, cfg)
+    val docs = withIds.map { case (id, _, text, _) => ((id / dps).toInt, id, text) }
+      .toDF("shard", "docId", "text")
+      .repartition(cfg.partitions, col("shard"))
+      .sortWithinPartitions("shard", "docId")
+      .as[(Int, Long, String)]
+    docs.mapPartitions { it =>
+      val t0 = System.currentTimeMillis()
+      var indexer: ShardIndexer = null
+      var curShard = -1
+      var rows = 0L
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+      def flush(): Unit = if (indexer != null) blocks ++= indexer.finish(withPositions = true)
+      it.foreach { case (shard, id, text) =>
+        rows += 1
+        if (shard != curShard) {
+          flush(); indexer = new ShardIndexer(shard, dps, cfg.blockSize); curShard = shard
+        }
+        indexer.addDoc((id - shard.toLong * dps).toInt, text)
+      }
+      flush()
+      writeLineage(cfg.lineageDir, "postings", rows, blocks.iterator.map(_.term).toSet.size.toLong,
+        blocks.length,
+        blocks.iterator.map(b => b.docs.length.toLong + b.tfs.length + b.pos.length).sum,
+        System.currentTimeMillis() - t0)
+      blocks.iterator
+    }
   }
 
-  /** Shared shuffle+encode pipeline over raw (term, shard, doc, pos)
-    * occurrences — used by both the direct build and the N-way merge. */
+  /** Re-encode raw (term, shard, doc, pos) occurrences — the merge path
+    * (ConcatN). Occurrences shuffle to their shard and are re-indexed
+    * locally, producing blocks byte-identical to a direct build. */
   def encodeOccurrences(
       spark: SparkSession,
       toks: DataFrame,
@@ -191,28 +344,26 @@ object IndexBuilder {
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
     val sorted = toks
-      .repartition(cfg.partitions, col("term"), col("shard"))
-      .sortWithinPartitions("term", "shard", "doc", "pos")
+      .repartition(cfg.partitions, col("shard"))
+      .sortWithinPartitions("shard", "doc", "pos")
       .as[(String, Int, Int, Int)]
     sorted.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
-      var enc: BlockEncoder = null
-      var curTerm: String = null
+      var indexer: ShardIndexer = null
       var curShard = -1
-      var rows = 0L; var terms = 0L
+      var rows = 0L
       val blocks = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+      def flush(): Unit = if (indexer != null) blocks ++= indexer.finish(withPositions = true)
       it.foreach { case (term, shard, doc, pos) =>
         rows += 1
-        if (enc == null || term != curTerm || shard != curShard) {
-          if (enc != null) blocks ++= enc.finish()
-          if (term != curTerm) terms += 1
-          enc = new BlockEncoder(term, shard, dps, cfg.blockSize, withPositions = true)
-          curTerm = term; curShard = shard
+        if (shard != curShard) {
+          flush(); indexer = new ShardIndexer(shard, dps, cfg.blockSize); curShard = shard
         }
-        enc.add(doc, pos)
+        indexer.add(term, doc, pos)
       }
-      if (enc != null) blocks ++= enc.finish()
-      writeLineage(cfg.lineageDir, "postings", rows, terms, blocks.length,
+      flush()
+      writeLineage(cfg.lineageDir, "postings", rows, blocks.iterator.map(_.term).toSet.size.toLong,
+        blocks.length,
         blocks.iterator.map(b => b.docs.length.toLong + b.tfs.length + b.pos.length).sum,
         System.currentTimeMillis() - t0)
       blocks.iterator
@@ -220,54 +371,50 @@ object IndexBuilder {
   }
 
   /** Byte-trigram postings with byte-offset positional sections (the dcs
-    * docid/pos/posrel sections per trigram, write.go:275-441). */
+    * docid/pos/posrel sections per trigram, write.go:275-441) — same
+    * per-shard local build, with an unboxed LongMap keyed by the packed
+    * 24-bit trigram. */
   def encodeTriPostings(
       spark: SparkSession,
       withIds: Dataset[(Long, String, String, String)],
       dps: Long,
       cfg: Config): Dataset[TriBlock] = {
     import spark.implicits._
-    val tris = withIds.flatMap { case (id, _, text, _) =>
-      if (!Text.indexable(text)) Iterator.empty
-      else {
-        val shard = (id / dps).toInt
-        val local = (id - shard * dps).toInt
-        Text.trigramsWithOffsets(text).iterator.map { case (t, off) => (t, shard, local, off) }
-      }
-    }.toDF("tri", "shard", "doc", "pos")
-    val sorted = tris
-      .repartition(cfg.partitions, col("tri"), col("shard"))
-      .sortWithinPartitions("tri", "shard", "doc", "pos")
-      .as[(Int, Int, Int, Int)]
-    sorted.mapPartitions { it =>
+    val docs = withIds.map { case (id, _, text, _) => ((id / dps).toInt, id, text) }
+      .toDF("shard", "docId", "text")
+      .repartition(cfg.partitions, col("shard"))
+      .sortWithinPartitions("shard", "docId")
+      .as[(Int, Long, String)]
+    docs.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
-      var enc: BlockEncoder = null
-      var curTri = -1
+      var indexer: TriShardIndexer = null
       var curShard = -1
-      var rows = 0L; var terms = 0L
+      var rows = 0L
+      val seen = new java.util.BitSet(1 << 24) // reused across docs in task
       val blocks = scala.collection.mutable.ArrayBuffer.empty[TriBlock]
-      def finishInto(tri: Int): Unit = if (enc != null) {
-        // the all-spaces trigram keeps its docid section but drops the
-        // positional sections (dcs write.go:346, merge.go:366,432)
-        val noPos = tri == Text.AllSpaces
-        blocks ++= enc.finish().map(b => TriBlock(tri, b.shard, b.blockId, b.df,
-          b.firstDoc, b.lastDoc, b.docs,
-          if (noPos) 0 else b.nPos,
-          if (noPos) Array.emptyByteArray else b.pos,
-          if (noPos) Array.emptyByteArray else b.posrel))
-      }
-      it.foreach { case (tri, shard, doc, pos) =>
+      def flush(): Unit = if (indexer != null) blocks ++= indexer.finish()
+      it.foreach { case (shard, id, text) =>
         rows += 1
-        if (enc == null || tri != curTri || shard != curShard) {
-          finishInto(curTri)
-          if (tri != curTri) terms += 1
-          enc = new BlockEncoder("", shard, dps, cfg.blockSize, withPositions = true)
-          curTri = tri; curShard = shard
+        if (shard != curShard) {
+          flush(); indexer = new TriShardIndexer(shard, dps, cfg.blockSize); curShard = shard
         }
-        enc.add(doc, pos)
+        if (Text.indexableReusing(text, seen)) {
+          val local = (id - shard.toLong * dps).toInt
+          // inline rolling byte-trigram scan: no per-occurrence tuples
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (b.length >= 3) {
+            var tv = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+            var i = 2
+            while (i < b.length) {
+              tv = ((tv << 8) | (b(i) & 0xff)) & 0xffffff
+              indexer.add(tv, local, i - 2)
+              i += 1
+            }
+          }
+        }
       }
-      finishInto(curTri)
-      writeLineage(cfg.lineageDir, "trigrams", rows, terms, blocks.length,
+      flush()
+      writeLineage(cfg.lineageDir, "trigrams", rows, 0L, blocks.length,
         blocks.iterator.map(b => b.docs.length.toLong + b.pos.length).sum,
         System.currentTimeMillis() - t0)
       blocks.iterator
@@ -305,51 +452,61 @@ object IndexBuilder {
     * reference importer.go:233-239,452-465). Returns the number of stages
     * actually executed (0 on a fully-resumed build). */
   def buildPersistent(spark: SparkSession, docs: DataFrame, dir: String,
-      cfg0: Config = Config()): Int = {
+      cfg0: Config = Config(),
+      onStage: (String, Double) => Unit = (_, _) => ()): Int = {
     import spark.implicits._
     val cfg = cfg0.copy(lineageDir = Some(s"$dir/_lineage"))
     new java.io.File(dir).mkdirs()
     var ran = 0
+    var t0 = System.nanoTime()
+    def stageEnd(name: String): Unit = {
+      onStage(name, (System.nanoTime() - t0) / 1e9); t0 = System.nanoTime()
+    }
 
     if (!stageDone(dir, "docmap")) {
-      val withIds = assignDocIds(spark, docs, cfg.partitions).cache()
-      val nDocs = withIds.count()
+      // ONE combined parquet (docId, url, text, lang, shard, dl): the
+      // docmap and the id-attached corpus in a single write — later
+      // stages read it with column pruning, and nDocs/avgdl come from
+      // cheap metadata/single-column scans of the written file
       val dps = cfg.docsPerShard
-      val docmap = withIds.map { case (id, url, text, lang) =>
-        DocEntry(id, url, (id / dps).toInt, Text.tokenize(text).length, lang)
-      }
-      docmap.write.mode(SaveMode.Overwrite).parquet(s"$dir/docmap")
-      withIds.map { case (id, url, text, lang) => (id, url, text, lang) }
-        .toDF("docId", "url", "text", "lang")
+      assignDocIds(spark, docs, cfg.partitions)
+        .map { case (id, url, text, lang) =>
+          (id, url, text, lang, (id / dps).toInt, Text.tokenize(text).length)
+        }
+        .toDF("docId", "url", "text", "lang", "shard", "dl")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-      val avgdl = spark.read.parquet(s"$dir/docmap").agg(avg("dl")).as[Double].head()
+      val stats = spark.read.parquet(s"$dir/docs")
+        .agg(count(lit(1)), avg("dl")).head()
+      val nDocs = stats.getLong(0)
+      val avgdl = stats.getDouble(1)
       val nShards = math.max(1, (nDocs + dps - 1) / dps).toInt
       writeMeta(s"$dir/meta.json",
         IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true))
-      commitStage(dir, "docmap"); ran += 1
-      withIds.unpersist()
+      commitStage(dir, "docmap"); stageEnd("docmap"); ran += 1
     }
 
     val meta = readMeta(s"$dir/meta.json")
     lazy val withIds = spark.read.parquet(s"$dir/docs")
+      .select("docId", "url", "text", "lang")
       .as[(Long, String, String, String)]
 
     if (!stageDone(dir, "docnorms")) {
-      spark.read.parquet(s"$dir/docmap").as[DocEntry]
-        .groupByKey(_.shard)
+      spark.read.parquet(s"$dir/docs").select("docId", "shard", "dl")
+        .as[(Long, Int, Int)]
+        .groupByKey(_._2)
         .mapGroups { (shard, it) =>
-          val entries = it.map(d => (d.docId, d.dl)).toArray.sortBy(_._1)
+          val entries = it.map(d => (d._1, d._3)).toArray.sortBy(_._1)
           DocNorms(shard, shard.toLong * meta.docsPerShard, entries.length,
             Varint.encodeInts(entries.map(_._2)))
         }
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
-      commitStage(dir, "docnorms"); ran += 1
+      commitStage(dir, "docnorms"); stageEnd("docnorms"); ran += 1
     }
 
     if (!stageDone(dir, "postings")) {
       encodeTokenPostings(spark, withIds, meta.docsPerShard, cfg)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-      commitStage(dir, "postings"); ran += 1
+      commitStage(dir, "postings"); stageEnd("postings"); ran += 1
     }
 
     if (!stageDone(dir, "termstats")) {
@@ -357,13 +514,13 @@ object IndexBuilder {
         .groupBy("term")
         .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-      commitStage(dir, "termstats"); ran += 1
+      commitStage(dir, "termstats"); stageEnd("termstats"); ran += 1
     }
 
     if (cfg.buildTrigrams && !stageDone(dir, "trigrams")) {
       encodeTriPostings(spark, withIds, meta.docsPerShard, cfg)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
-      commitStage(dir, "trigrams"); ran += 1
+      commitStage(dir, "trigrams"); stageEnd("trigrams"); ran += 1
     }
     ran
   }
@@ -376,7 +533,8 @@ object IndexBuilder {
       else None
     BuiltIndex(
       meta,
-      spark.read.parquet(s"$dir/docmap").as[DocEntry],
+      spark.read.parquet(s"$dir/docs")
+        .select("docId", "url", "shard", "dl", "lang").as[DocEntry],
       spark.read.parquet(s"$dir/docnorms").as[DocNorms],
       spark.read.parquet(s"$dir/postings").as[PostingBlock],
       tri,

@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic index publish/swap — the ReplaceIndex analogue (reference
+  * `internal/sourcebackend/sourcebackend.go:198-251` and the importer's
+  * `.tmp`→rename discipline, `importer.go:452-465`): a new index version
+  * is built into a staging directory, then atomically made current via a
+  * `CURRENT` pointer-file swap. Readers resolve the pointer at load time,
+  * so a crash mid-build never corrupts the serving index, and the old
+  * version stays on disk until explicitly vacuumed (Iceberg-style
+  * snapshot discipline without the Iceberg runtime).
+  */
+object IndexPublisher {
+
+  private def currentFile(root: String) = java.nio.file.Paths.get(s"$root/CURRENT")
+
+  /** Build (or resume) a new version into staging, then swap. Returns the
+    * new version directory. */
+  def publish(spark: SparkSession, docs: DataFrame, root: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      version: String = null): String = {
+    new java.io.File(root).mkdirs()
+    val ver = Option(version).getOrElse {
+      // next monotone version (resume-friendly: deterministic from content
+      // would also work; monotone integers mirror dcs's full.<unix-ts>)
+      val existing = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      "v" + (if (existing.isEmpty) 1L else existing.max + 1L)
+    }
+    val dir = s"$root/$ver"
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    swap(root, ver)
+    dir
+  }
+
+  /** Atomically point CURRENT at a committed version. */
+  def swap(root: String, version: String): Unit = {
+    require(new java.io.File(s"$root/$version/meta.json").exists(),
+      s"version $version is not a committed index")
+    val tmp = java.nio.file.Paths.get(s"$root/CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp, version)
+    java.nio.file.Files.move(tmp, currentFile(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(root: String): Option[String] =
+    if (java.nio.file.Files.exists(currentFile(root)))
+      Some(java.nio.file.Files.readString(currentFile(root)).trim)
+    else None
+
+  /** Load the currently-published index. */
+  def loadCurrent(spark: SparkSession, root: String): BuiltIndex = {
+    val ver = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published index under $root"))
+    IndexBuilder.load(spark, s"$root/$ver")
+  }
+
+  /** Drop all versions except CURRENT (the cleanup cron analogue,
+    * reference `cleanup-failed-shards.cron`). */
+  def vacuum(root: String): Seq[String] = {
+    val keep = currentVersion(root).toSet
+    val victims = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") && !keep(f.getName))
+    victims.foreach(v => org.apache.commons.io.FileUtils.deleteDirectory(v))
+    victims.map(_.getName).toSeq
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.PageGen
+import graft.index.{IndexBuilder, Search}
+
+/** Physical-plan audits: the properties that keep the engine fast at
+  * 100 TB must be visible in the plan — term predicates pushed to the
+  * parquet postings scan (the MetaEntry-binary-search analogue, S9) and
+  * column pruning on wide tables. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val docs = PageGen.pages(spark, 400, 4).toDF().select("url", "text", "lang")
+    IndexBuilder.buildPersistent(spark, docs, d,
+      IndexBuilder.Config(docsPerShard = 128, blockSize = 32, partitions = 4))
+    d
+  }
+  lazy val idx = IndexBuilder.load(spark, dir)
+
+  test("term IN (...) predicate is pushed down to the postings parquet scan") {
+    val df = Search.topK(spark, idx, Seq("qmarker3", "the"), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"no term pushdown visible in plan:\n$plan")
+  }
+
+  test("trigram IN (...) predicate is pushed down to the trigram scan") {
+    val docs = idx.docmap.toDF().selectExpr("docId", "url as text") // shape only
+    val df = Search.substring(spark, idx, docs, "qmarker")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(tri"), s"no trigram pushdown:\n$plan")
+  }
+
+  test("docmap reads prune the text column") {
+    val df = graft.queries.QueryRunner.run(spark, idx, "qmarker3 lang:de", 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // every parquet scan in the query plan must avoid reading `text`
+    // (the docs table carries it; queries only need ids/urls/norms)
+    val scans = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(!s.contains("text:string"),
+      s"query plan reads the raw text column:\n$s"))
+  }
+
+  test("whole-stage codegen covers the scoring pipeline (final AQE plan)") {
+    val df = Search.bruteForceTopK(spark,
+      idx.docmap.toDF().selectExpr("docId", "url as text"), Seq("a"), 5)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // `*(n)` marks operators inside a WholeStageCodegen span
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+    // the scoring join builds broadcast sides, not shuffles
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+}

@@ -47,6 +47,27 @@ class ResumeSpec extends AnyFunSuite {
     assert(ran == 3)
   }
 
+  test("publish/swap/vacuum: atomic CURRENT pointer, old versions dropped") {
+    val root = tmpDir()
+    val docs = PageGen.pages(spark, 200, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16,
+      partitions = 4, buildTrigrams = false)
+    val d1 = graft.index.IndexPublisher.publish(spark, docs, root, cfg)
+    assert(graft.index.IndexPublisher.currentVersion(root).contains("v1"))
+    val idx1 = graft.index.IndexPublisher.loadCurrent(spark, root)
+    assert(idx1.meta.nDocs == 200)
+    // publish a second version (larger corpus), swap is atomic
+    val docs2 = PageGen.pages(spark, 250, 4).toDF().select("url", "text", "lang")
+    graft.index.IndexPublisher.publish(spark, docs2, root, cfg)
+    assert(graft.index.IndexPublisher.currentVersion(root).contains("v2"))
+    assert(graft.index.IndexPublisher.loadCurrent(spark, root).meta.nDocs == 250)
+    // vacuum drops v1 only
+    val dropped = graft.index.IndexPublisher.vacuum(root)
+    assert(dropped == Seq("v1"))
+    assert(!new java.io.File(d1).exists())
+    assert(graft.index.IndexPublisher.loadCurrent(spark, root).meta.nDocs == 250)
+  }
+
   test("loaded index answers queries identically to in-memory build") {
     val dir = tmpDir()
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
