@@ -201,6 +201,10 @@ object SparkEntry {
         dim = 64, planes = 6)
         .orderBy("qid", "rank")
     }),
+    // pipeline: embedding-cosine near-duplicate pairs (exact baseline)
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
+        .orderBy("id1", "id2")),
     // pipeline: language id
     "q_langid" -> ((s, dir) => {
       val ids = corpus(s, dir).select(col("doc_id").as("docid"), col("text"))
@@ -487,6 +491,16 @@ object SparkEntry {
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
     },
+    "q_embed_neardup" ->
+      s"""$annFlat, dots AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2, round(CAST(dot / (nx.nrm * ny.nrm) AS DOUBLE), 5) AS cosine
+         |FROM dots JOIN norms nx ON nx.vec_id = id1 JOIN norms ny ON ny.vec_id = id2
+         |WHERE dot / (nx.nrm * ny.nrm) >= 0.4
+         |ORDER BY id1, id2""".stripMargin,
     "q_langid" -> langidSql,
     "q_quality" -> {
       val stops = inList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)

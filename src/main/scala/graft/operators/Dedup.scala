@@ -86,6 +86,31 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("j_raw"), 5).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (id1 < id2, cosine ≥ threshold).
+    * `exact = true` does the all-pairs comparison (the verification-grade
+    * baseline, O(n²) — fine for oracles and small partitions);
+    * `exact = false` restricts candidates to matching random-hyperplane
+    * LSH buckets — the 100 TB path (equi-join shuffle instead of a cross
+    * join; recall < 1 by construction). */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, exact: Boolean = true,
+      dim: Int = 64, planes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val withBucket =
+      if (exact) v.withColumn("bucket", lit(0))
+      else v.withColumn("bucket", Similarity.lshBucket(col("v"), Similarity.hyperplanes(dim, planes)))
+    val l = withBucket.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = withBucket.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    val dotp = aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+    val n1 = sqrt(aggregate(col("v1"), lit(0.0d), (a, x) => a + x * x))
+    val n2 = sqrt(aggregate(col("v2"), lit(0.0d), (a, x) => a + x * x))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos_raw", dotp / (n1 * n2))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos_raw"), 5).as("cosine"))
+  }
+
   /** SimHash (64-bit, as two 32-bit halves to stay in exact integer range
     * for the SQL oracle): per token, 64 pseudo-random bits derived from
     * md5 hex nibbles; per-bit weighted vote by token count; sign of the

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.index.{BuiltIndex, IndexBuilder, IndexMerger, IndexPublisher}
+
+/** Streaming ingestion feeder — the dcs-feeder / package-importer
+  * analogue (reference `cmd/dcs-feeder/feeder.go`,
+  * `cmd/dcs-package-importer/importer.go:146-199,319-390`): arriving
+  * document batches each become a small self-contained index (the
+  * per-package index), and a merge step ConcatN's all batch indexes into
+  * a full index version that is atomically published.
+  *
+  * The reference has no stream processing semantics (the index is
+  * rebuilt and swapped); this mirrors exactly that model on Structured
+  * Streaming: micro-batches append batch indexes, `mergeAndPublish` is
+  * the `mergeToShard` + `ReplaceIndex` step.
+  */
+object IndexFeeder {
+
+  /** Start consuming a streaming DataFrame of (url, text, lang) rows;
+    * each non-empty micro-batch is built into `root/batches/b<id>`. */
+  def start(spark: SparkSession, stream: DataFrame, root: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()): StreamingQuery = {
+    new java.io.File(s"$root/batches").mkdirs()
+    stream.writeStream
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val dir = s"$root/batches/b$batchId"
+          IndexBuilder.buildPersistent(batch.sparkSession, batch, dir, cfg)
+          ()
+        }
+      }
+      .start()
+  }
+
+  def batchDirs(root: String): Seq[String] =
+    Option(new java.io.File(s"$root/batches").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
+      .sortBy(_.getName.drop(1).toLong)
+      .map(_.getAbsolutePath).toSeq
+
+  /** ConcatN all committed batch indexes (in batch order — the docid
+    * rebase order, like dcs's shard-local arrival order) into a new full
+    * version and atomically publish it. */
+  def mergeAndPublish(spark: SparkSession, root: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()): Option[BuiltIndex] = {
+    val dirs = batchDirs(root)
+    if (dirs.isEmpty) return None
+    val parts = dirs.map(d => IndexBuilder.load(spark, d))
+    val merged = IndexMerger.merge(spark, parts, cfg)
+    val existing = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)).map(_.drop(1).toLong)
+    val ver = "v" + (if (existing.isEmpty) 1L else existing.max + 1L)
+    persist(merged, s"$root/$ver")
+    IndexPublisher.swap(root, ver)
+    Some(merged)
+  }
+
+  /** Persist an in-memory BuiltIndex as a committed index directory
+    * (loadable by IndexBuilder.load; text column absent — queries needing
+    * raw text supply their own docs table). */
+  def persist(idx: BuiltIndex, dir: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    new java.io.File(dir).mkdirs()
+    idx.docmap.toDF()
+      .select(org.apache.spark.sql.functions.col("docId"),
+        org.apache.spark.sql.functions.col("url"),
+        lit("").as("text"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("shard"),
+        org.apache.spark.sql.functions.col("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+    idx.docnorms.write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
+    idx.postings.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    idx.termstats.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+    IndexBuilder.writeMeta(s"$dir/meta.json", idx.meta)
+    Seq("docmap", "docnorms", "postings", "termstats").foreach { st =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_COMMITTED_$st"),
+        System.currentTimeMillis().toString)
+    }
+    idx.trigrams.foreach { tri =>
+      tri.write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_COMMITTED_trigrams"),
+        System.currentTimeMillis().toString)
+    }
+  }
+}
