@@ -148,6 +148,12 @@ object SparkEntry {
     "q_lang_filter" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), "dup lang:de", 10)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // T3: result pagination under the deterministic global order
+    "q_page" -> ((s, dir) =>
+      QueryRunner.page(s, index(s, dir), "data", 5, 1)
+        .select(col("docId").as("docid"), col("url"),
+          round(col("score"), 5).as("score"), col("rank"))
+        .orderBy("rank")),
     // A5: per-group cap via window
     "q_topk_per_source" -> ((s, dir) => {
       val scored = QueryRunner.scoreDocs(s, index(s, dir), Seq("data", "dup"), None)
@@ -401,6 +407,27 @@ object SparkEntry {
     "q_lang_filter" ->
       bm25Sql(Seq("dup"), 10,
         "WHERE docid IN (SELECT docid FROM ids WHERE lang = 'de')"),
+    "q_page" ->
+      s"""$P, tf AS (
+         |  SELECT term, docid, count(*) AS c FROM tok
+         |  WHERE term IN ('data') GROUP BY 1, 2
+         |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT docid, len(l) AS dl FROM toks),
+         |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ids) AS n,
+         |                 (SELECT avg(len(l)) FROM toks) AS avgdl),
+         |scored AS (
+         |  SELECT docid, sum($bm25Score) AS sc
+         |  FROM tf JOIN dfs USING (term) JOIN dls USING (docid), stats
+         |  GROUP BY docid
+         |), ranked AS (
+         |  SELECT docid, sc,
+         |    CAST(row_number() OVER (ORDER BY sc DESC, docid ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT r.docid, 'doc' || lpad(CAST(i.doc_id AS VARCHAR), 12, '0') AS url,
+         |  round(CAST(r.sc AS DOUBLE), 5) AS score, r.rank
+         |FROM ranked r JOIN ids i USING (docid)
+         |WHERE r.rank > 5 AND r.rank <= 10 ORDER BY r.rank""".stripMargin,
     "q_topk_per_source" ->
       s"""$P, tf AS (
          |  SELECT term, docid, count(*) AS c FROM tok

@@ -76,6 +76,21 @@ object Varint {
     buf.result()
   }
 
+  /** Decode delta+varint docids straight to global Long ids (local id +
+    * shard base) — the form Catalyst array expressions want. */
+  def decodeDeltasLong(bytes: Array[Byte], n: Int, base: Long): Array[Long] = {
+    val out = new Array[Long](n)
+    val r = new Reader(bytes)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      prev = if (i == 0) r.readVarint() else prev + r.readVarint()
+      out(i) = base + prev
+      i += 1
+    }
+    out
+  }
+
   def decodeDeltas(bytes: Array[Byte], n: Int): Array[Int] = {
     val out = new Array[Int](n)
     val r = new Reader(bytes)

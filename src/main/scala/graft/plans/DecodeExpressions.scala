@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import graft.functions.Varint
+
+/** Native Catalyst expressions for posting decompression, so decode can
+  * run inside whole-stage codegen instead of a Dataset lambda (the
+  * "custom Expression beats Scala UDF" rung of the extension ladder).
+  * Codegen emits a direct static call into the varint codec — no
+  * boxing, no serializer round-trip, null handling via nullSafeCodeGen.
+  */
+final case class DecodeDocIds(bytes: Expression, n: Expression, base: Expression)
+    extends TernaryExpression {
+  override def first: Expression = bytes
+  override def second: Expression = n
+  override def third: Expression = base
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = bytes.nullable || n.nullable || base.nullable
+
+  override protected def nullSafeEval(b: Any, nn: Any, bb: Any): Any =
+    new GenericArrayData(Varint.decodeDeltasLong(
+      b.asInstanceOf[Array[Byte]], nn.asInstanceOf[Int], bb.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, nn, bb) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Varint.decodeDeltasLong($b, $nn, $bb))")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** Decode a varint int array (term frequencies) as array<int>. */
+final case class DecodeTfs(bytes: Expression, n: Expression)
+    extends BinaryExpression {
+  override def left: Expression = bytes
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(b: Any, nn: Any): Any =
+    new GenericArrayData(Varint.decodeInts(
+      b.asInstanceOf[Array[Byte]], nn.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, nn) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Varint.decodeInts($b, $nn))")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+object GraftFunctions {
+  @volatile private var registered = Set.empty[String]
+
+  /** Register graft_decode_docids / graft_decode_tfs in the session's
+    * function registry (idempotent per session). */
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (!registered.contains(key)) synchronized {
+      if (!registered.contains(key)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_decode_docids", exprs => DecodeDocIds(exprs(0), exprs(1), exprs(2)), "built-in")
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_decode_tfs", exprs => DecodeTfs(exprs(0), exprs(1)), "built-in")
+        registered += key
+      }
+    }
+  }
+}

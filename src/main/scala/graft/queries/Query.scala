@@ -67,11 +67,18 @@ object QueryRunner {
     val avgdl = idx.meta.avgdl
     val dps = idx.meta.docsPerShard
     val dfMap = stats
-    val tfRows = idx.postings.filter(col("term").isin(sorted: _*))
-      .flatMap { b =>
-        val (ds, tfs) = Postings.decodeDocsTfs(b, dps)
-        Iterator.tabulate(ds.length)(i => (b.term, ds(i), tfs(i)))
-      }.toDF("term", "docId", "tf")
+    // decode inside whole-stage codegen via the native expressions
+    // (graft.plans.DecodeDocIds / DecodeTfs) — no Dataset lambda
+    graft.plans.GraftFunctions.register(spark)
+    val tfRows = idx.postings.toDF()
+      .filter(col("term").isin(sorted: _*))
+      .select(col("term"),
+        call_function("graft_decode_docids", col("docs"), col("df"),
+          col("shard").cast("long") * lit(dps)).as("docsArr"),
+        call_function("graft_decode_tfs", col("tfs"), col("df")).as("tfsArr"))
+      .select(col("term"), col("tfsArr"), posexplode(col("docsArr")))
+      .select(col("term"), col("col").as("docId"),
+        element_at(col("tfsArr"), col("pos") + 1).as("tf"))
     val restricted = restrict match {
       case Some(r) => tfRows.join(r.select("docId"), Seq("docId"), "left_semi")
       case None => tfRows
@@ -87,6 +94,19 @@ object QueryRunner {
           (lit(1.0 - graft.functions.BM25.B) +
             lit(graft.functions.BM25.B) * col("dl") / lit(avgdl))))
       .groupBy("docId").agg(sum("s").as("score"))
+  }
+
+  /** Result pagination (T3 analogue, `cmd/dcs-web/querymanager.go:719-728`):
+    * page p (0-based) of `perPage` results under the deterministic global
+    * order. Implemented as rank-window + range filter so the plan stays a
+    * single TakeOrdered-style pass. */
+  def page(spark: SparkSession, idx: BuiltIndex, q: String, perPage: Int, pageNo: Int): DataFrame = {
+    val all = run(spark, idx, q, perPage * (pageNo + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("docId").asc)
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") > perPage * pageNo && col("rank") <= perPage * (pageNo + 1))
+      .select(col("docId"), col("url"), col("score"), col("rank"))
   }
 
   def run(spark: SparkSession, idx: BuiltIndex, q: String, k: Int): DataFrame = {
