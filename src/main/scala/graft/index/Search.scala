@@ -38,49 +38,65 @@ object Postings {
   }
 }
 
-/** Cursor over one term's posting blocks within one shard, with
-  * block-granular skipping: `seek` skips (never decodes) whole blocks via
-  * their [firstDoc, lastDoc] bounds — the WAND analogue of dcs's
-  * meta-entry binary search (`internal/index/read.go:161-215`). */
+/** Cursor over one term's posting blocks within one shard. Blocks decode
+  * LAZILY: `shallowSeek` advances the block pointer on [firstDoc,lastDoc]
+  * metadata alone (the WAND analogue of dcs's meta-entry binary search,
+  * `internal/index/read.go:161-215`), and `blockUB` bounds the term's
+  * score inside the current block via its maxTf — the block-max metadata
+  * driving BMW pruning. */
 private final class TermCursor(
     val term: String,
     blocks: Array[PostingBlock],
     dps: Long,
-    val ub: Double // per-term score upper bound (global maxTf)
+    val ub: Double, // per-term global score upper bound (global maxTf)
+    ubOfTf: Int => Double // block-max score bound given a block's maxTf
 ) {
   private var bi = 0
   private var i = 0
+  private var decoded = false
   private var docs: Array[Long] = _
   private var tfs: Array[Int] = _
-  loadBlock()
 
-  private def loadBlock(): Unit =
-    if (bi < blocks.length) {
+  def exhausted: Boolean = bi >= blocks.length
+
+  private def ensure(): Unit =
+    if (!decoded) {
       val (d, t) = Postings.decodeDocsTfs(blocks(bi), dps)
-      docs = d; tfs = t; i = 0
-    } else { docs = null }
+      docs = d; tfs = t; i = 0; decoded = true
+    }
 
-  def exhausted: Boolean = docs == null
-  def docId: Long = docs(i)
-  def tf: Int = tfs(i)
+  def docId: Long = { ensure(); docs(i) }
+  def tf: Int = { ensure(); tfs(i) }
+
+  /** score bound of the CURRENT block (no decode needed). */
+  def blockUB: Double = ubOfTf(blocks(bi).maxTf)
+  def blockLastDoc: Long = blocks(bi).lastDoc
+
+  /** advance the block pointer (metadata only, no decode) until the
+    * current block may contain target. */
+  def shallowSeek(target: Long): Unit = {
+    if (exhausted) return
+    while (bi < blocks.length && blocks(bi).lastDoc < target) { bi += 1; decoded = false }
+  }
 
   def next(): Unit = {
+    ensure()
     i += 1
-    if (i >= docs.length) { bi += 1; loadBlock() }
+    if (i >= docs.length) { bi += 1; decoded = false }
   }
 
   def seek(target: Long): Unit = {
+    shallowSeek(target)
     if (exhausted) return
-    // skip whole blocks without decoding
-    if (blocks(bi).lastDoc < target) {
-      while (bi < blocks.length && blocks(bi).lastDoc < target) bi += 1
-      loadBlock()
-      if (exhausted) return
-    }
-    // gallop within the decoded block
+    ensure()
     while (docs(i) < target) {
       i += 1
-      if (i >= docs.length) { bi += 1; loadBlock(); if (exhausted) return }
+      if (i >= docs.length) {
+        bi += 1; decoded = false
+        shallowSeek(target)
+        if (exhausted) return
+        ensure()
+      }
     }
   }
 }
@@ -138,7 +154,9 @@ object Search {
       nDocs: Long, avgdl: Double, k: Int): Seq[(Long, Double)] = {
     val byTerm = blockIt.toArray.groupBy(_.term)
     val cursors = byTerm.toArray.sortBy(_._1).map { case (t, bs) =>
-      new TermCursor(t, bs.sortBy(_.firstDoc), dps, ubs(t))
+      val idf = BM25.idf(dfs(t), nDocs)
+      new TermCursor(t, bs.sortBy(_.firstDoc), dps, ubs(t),
+        maxTf => idf * maxTf * (BM25.K1 + 1.0) / (maxTf + BM25.K1 * (1.0 - BM25.B)))
     }
     // top-k min-heap ordered worst-first: (score asc, docId desc)
     implicit val ord: Ordering[(Long, Double)] =
@@ -171,18 +189,50 @@ object Search {
           active.clear() // no doc can beat theta anymore
         } else {
           val pivotDoc = sorted(p).docId
-          if (sorted(0).docId == pivotDoc) {
-            // fully score pivotDoc; cursors are in lexicographic term order
-            // only within equal docId prefix — enforce deterministic sum
-            val here = sorted.takeWhile(_.docId == pivotDoc).sortBy(_.term)
+          // extend the pivot across equal docIds so every cursor at
+          // pivotDoc is inside the pruning bound (and the skip target is
+          // strictly beyond pivotDoc — guarantees progress)
+          while (p + 1 < sorted.length && sorted(p + 1).docId == pivotDoc) p += 1
+          // block-max refinement (BMW): shallow-advance the blocks of
+          // cursors ≤ p to pivotDoc and bound by their block maxes; if
+          // even the block-local bound can't beat theta, skip past the
+          // shortest current block in one jump — no decode happens
+          var j = 0
+          while (j <= p) { sorted(j).shallowSeek(pivotDoc); j += 1 }
+          var blockSum = 0.0
+          var minBlockLast = Long.MaxValue
+          j = 0
+          while (j <= p) {
+            if (!sorted(j).exhausted) {
+              blockSum += sorted(j).blockUB
+              if (sorted(j).blockLastDoc < minBlockLast) minBlockLast = sorted(j).blockLastDoc
+            }
+            j += 1
+          }
+          if (blockSum <= theta && minBlockLast != Long.MaxValue) {
+            var target = minBlockLast + 1
+            if (p + 1 < sorted.length && sorted(p + 1).docId < target)
+              target = sorted(p + 1).docId
+            j = 0
+            while (j <= p) { sorted(j).seek(target); j += 1 }
+          } else if (!sorted(0).exhausted && sorted(0).docId == pivotDoc) {
+            // fully score pivotDoc. NB: shallow seeks may have advanced
+            // some cursors' docIds, so gather ALL cursors at pivotDoc
+            // (not just the stale sorted prefix); sum in lexicographic
+            // term order for bit-identical determinism
+            val here = sorted.filter(c => !c.exhausted && c.docId == pivotDoc).sortBy(_.term)
             val dl = dls((pivotDoc - base).toInt)
             var s = 0.0
             here.foreach { c => s += BM25.score(c.tf, dfs(c.term), dl, nDocs, avgdl) }
             offer(pivotDoc, s)
             here.foreach(_.next())
           } else {
-            var j = 0
-            while (j < p && sorted(j).docId < pivotDoc) { sorted(j).seek(pivotDoc); j += 1 }
+            j = 0
+            while (j < p) {
+              if (!sorted(j).exhausted && sorted(j).docId < pivotDoc)
+                sorted(j).seek(pivotDoc)
+              j += 1
+            }
           }
         }
       }

@@ -101,6 +101,19 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("BMW pruning stays exact across k values (block-boundary stress)") {
+    for (k <- Seq(1, 5, 37); q <- Seq(Seq("the", "of", "and"), Seq("the", "qmarker5"))) {
+      val wand = Search.topK(spark, idx, q, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val brute = Search.bruteForceTopK(spark, docs
+        .join(idx.docmap.select("docId", "url"), "url")
+        .select("docId", "text"), q, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(wand.map(_._1).toSeq == brute.map(_._1).toSeq, s"k=$k q=$q")
+      wand.zip(brute).foreach { case ((_, s1), (_, s2)) => assert(math.abs(s1 - s2) < 1e-9) }
+    }
+  }
+
   test("no-hit query returns empty") {
     assert(Search.topK(spark, idx, Seq("zzqnohit"), 10).count() == 0)
   }
