@@ -20,18 +20,24 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles of a document (lowercased [a-z0-9] tokens). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= lit(""))
-    // sliding window via transform over indices; DuckDB mirror uses
-    // list_transform(range(...)) + array_to_string
+  /** Word n-gram shingles over a PRE-MATERIALIZED tokens column.
+    * Taking the tokens as a column (not recomputing split() inside the
+    * lambda) matters: Catalyst inlines lambda-captured expressions, so a
+    * `size(split(...))` inside `transform` re-splits the text once per
+    * array element — O(n²) work per document. */
+  def shinglesOf(toksCol: Column, n: Int): Column =
     array_distinct(
       filter(
-        transform(toks, (_, i) =>
-          when(i <= size(toks) - n,
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        transform(toksCol, (_, i) =>
+          when(i <= size(toksCol) - n,
+            concat_ws(" ", slice(toksCol, i + 1, lit(n))))),
         s => s.isNotNull))
-  }
+
+  def tokensOf(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Word n-gram shingles of a document (lowercased [a-z0-9] tokens). */
+  def shingles(textCol: Column, n: Int): Column = shinglesOf(tokensOf(textCol), n)
 
   /** MinHash signatures: k independent permutations simulated by
     * min(md5(seed || shingle)). Returns (id, band, minhash-concat) rows
@@ -43,7 +49,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes)
     val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("__toks", tokensOf(col(textCol)))
+      .select(col(idCol).as("id"), explode(shinglesOf(col("__toks"), shingleN)).as("sh"))
     val hashes = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"seed$i:"), col("sh")))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(hashes.head, hashes.tail: _*)
@@ -71,8 +78,10 @@ object Dedup {
     * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = docs
+      .withColumn("__toks", tokensOf(col(textCol)))
+      .select(col(idCol).as("id"), explode(shinglesOf(col("__toks"), shingleN)).as("sh"))
+      .cache() // used by both the sizes and the pair-intersection branch
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id1"), col("sh"))
       .join(sh.select(col("id").as("id2"), col("sh")), "sh")
@@ -96,17 +105,18 @@ object Dedup {
       dim: Int = 64, planes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      // norms hoisted to one column per VECTOR (not per pair): identical
+      // arithmetic, 3x fewer array aggregations in the pair loop
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
     val withBucket =
       if (exact) v.withColumn("bucket", lit(0))
       else v.withColumn("bucket", Similarity.lshBucket(col("v"), Similarity.hyperplanes(dim, planes)))
-    val l = withBucket.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = withBucket.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    val l = withBucket.select(col("bucket"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val r = withBucket.select(col("bucket"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     val dotp = aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
-    val n1 = sqrt(aggregate(col("v1"), lit(0.0d), (a, x) => a + x * x))
-    val n2 = sqrt(aggregate(col("v2"), lit(0.0d), (a, x) => a + x * x))
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos_raw", dotp / (n1 * n2))
+      .withColumn("cos_raw", dotp / (col("n1") * col("n2")))
       .filter(col("cos_raw") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos_raw"), 5).as("cosine"))
   }

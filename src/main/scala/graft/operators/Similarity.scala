@@ -27,13 +27,16 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // cast to double BEFORE multiplying: float*float would round to
-    // float32 while the SQL oracle multiplies doubles
+    // float32 while the SQL oracle multiplies doubles. Norms are hoisted
+    // to one column per vector so the pair loop runs a single aggregate.
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine",
-        round(dot(col("qvec"), col("cvec")) / (norm(col("qvec")) * norm(col("cvec"))), 5))
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
     scored
@@ -78,12 +81,14 @@ object Similarity {
     val hp = hyperplanes(dim, planes)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("bucket", lshBucket(col("cvec"), hp))
+      .withColumn("cn", norm(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("bucket", lshBucket(col("qvec"), hp))
+      .withColumn("qn", norm(col("qvec")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine",
-        round(dot(col("qvec"), col("cvec")) / (norm(col("qvec")) * norm(col("cvec"))), 5))
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
     scored
