@@ -167,6 +167,13 @@ object SparkEntry {
           round(col("score"), 5).as("score"), col("rn"))
         .orderBy("source", "rn")
     }),
+    // X3: grep with line numbers + context sizes (documents are
+    // single-line; multi-line context is covered by EngineSpec goldens)
+    "q_grep_context" -> ((s, dir) =>
+      Search.grepContext(s, docsWithIds(s, dir), "dup", ctx = 2)
+        .select(col("docId").as("docid"), col("line_no"), col("line"),
+          size(col("before")).as("n_before"), size(col("after")).as("n_after"))
+        .orderBy("docid", "line_no")),
     // X3/X4: snippet extraction around first match
     "q_snippet" -> ((s, dir) => {
       corpus(s, dir)
@@ -447,6 +454,11 @@ object SparkEntry {
          |)
          |SELECT source, docid, round(CAST(sc AS DOUBLE), 5) AS score, rn
          |FROM ranked WHERE rn <= 2 ORDER BY source, rn""".stripMargin,
+    "q_grep_context" ->
+      s"""$P SELECT docid, 1 AS line_no, text AS line,
+         |  0 AS n_before, 0 AS n_after
+         |FROM ids WHERE regexp_matches(text, 'dup')
+         |ORDER BY docid, line_no""".stripMargin,
     "q_snippet" ->
       s"""$P SELECT docid, CAST(strpos(text, 'dup') AS INT) AS off,
          |  substring(text, greatest(strpos(text, 'dup') - 30, 1), 60) AS snip

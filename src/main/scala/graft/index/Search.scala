@@ -452,6 +452,31 @@ object Search {
     out.result()
   }
 
+  /** Grep with context (X3, reference `regexp/match.go:421-561`): for
+    * candidate docs, emit every line matching the pattern with up to
+    * `ctx` lines of before/after context and 1-based line numbers —
+    * dcs's Match payload (`sourcebackendpb/sourcebackend.proto:26-44`).
+    * One match per line (dcs caps identical-line matches the same way).
+    * Runs as a Catalyst pipeline: split → posexplode → rlike filter →
+    * window-free context via slice on the shared lines array. */
+  def grepContext(spark: SparkSession, docs: DataFrame, pattern: String,
+      ctx: Int = 2): DataFrame = {
+    val lines = split(col("text"), "\n")
+    docs
+      .filter(col("text").rlike(pattern))
+      .select(col("docId"), lines.as("lines"))
+      .select(col("docId"), col("lines"), posexplode(col("lines")))
+      .filter(col("col").rlike(pattern))
+      .select(
+        col("docId"),
+        (col("pos") + 1).as("line_no"),
+        col("col").as("line"),
+        slice(col("lines"), greatest(col("pos") - (ctx - 1), lit(1)),
+          least(col("pos"), lit(ctx))).as("before"),
+        slice(col("lines"), col("pos") + 2,
+          least(size(col("lines")) - col("pos") - 1, lit(ctx))).as("after"))
+  }
+
   /** Independent brute-force BM25 scorer (the rank-identity oracle,
     * FIXTURES.md §2): tokenizes from scratch with DataFrame ops only —
     * shares no code with the index path. */

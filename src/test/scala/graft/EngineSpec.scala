@@ -153,6 +153,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("grep with context returns matching lines with line numbers and context") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    val rows = Search.grepContext(spark, docsWithIds, "needleAlpha", ctx = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == urlToDocId(PageGen.url(137)))
+    val text = pages.filter(_.url == PageGen.url(137)).head().text
+    val lines = text.split("\n")
+    val expectIdx = lines.indexWhere(_.contains("needleAlpha"))
+    assert(r.getInt(1) == expectIdx + 1) // 1-based line number (pos+1 is int)
+    assert(r.getString(2).contains("needleAlpha"))
+    val before = r.getSeq[String](3)
+    assert(before.toSeq == lines.slice(math.max(0, expectIdx - 2), expectIdx).toSeq)
+    val after = r.getSeq[String](4)
+    assert(after.toSeq == lines.slice(expectIdx + 1, expectIdx + 3).toSeq)
+  }
+
   test("merge(shards) is equivalent to build(union) — ConcatN property") {
     val all = docs.orderBy("url").collect()
     val third = all.length / 3
