@@ -38,20 +38,28 @@ object Bench {
     }
     val docsPerSec = nDocs / math.max(tBuild, 1e-9)
 
+    // a query that throws records its elapsed time AND an explicit error
+    // entry — never a sentinel that could read as "fast" in a regression
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "index_build" -> tBuild)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {
         try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.values.sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""errors":$errJson,"n_errors":${errors.size},""" +
         f""""sf":"$sfDir","n_docs":$nDocs,"build_sec":$tBuild%.3f,""" +
         f""""build_docs_per_sec":$docsPerSec%.1f}""")
     spark.stop()

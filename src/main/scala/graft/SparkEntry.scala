@@ -111,9 +111,14 @@ object SparkEntry {
     "q_search_or" -> ((s, dir) =>
       Search.searchOr(s, index(s, dir), OrTerms)
         .select(col("docId").as("docid")).orderBy("docid")),
-    // T2 + X9: block-max WAND BM25 top-k
+    // T2 + X9: block-max WAND BM25 top-k (disjunctive ranked retrieval)
     "q_bm25_topk" -> ((s, dir) =>
       Search.topK(s, index(s, dir), Bm25Terms, 20)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // conjunctive scored top-k — the QueryRunner fast-path semantics
+    // (all terms required, dcs query.go:48-62 + BM25)
+    "q_bm25_and" -> ((s, dir) =>
+      Search.topKAnd(s, index(s, dir), Bm25Terms, 20)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
     // J3: positional phrase join
     "q_phrase" -> ((s, dir) =>
@@ -387,6 +392,9 @@ object SparkEntry {
       s"""$P SELECT DISTINCT docid FROM tok WHERE term IN (${inList(OrTerms)})
          |ORDER BY docid""".stripMargin,
     "q_bm25_topk" -> bm25Sql(Bm25Terms, 20),
+    "q_bm25_and" -> bm25Sql(Bm25Terms, 20,
+      s"""WHERE docid IN (SELECT docid FROM tok WHERE term IN (${inList(Bm25Terms)})
+         |GROUP BY docid HAVING count(DISTINCT term) = ${Bm25Terms.length})""".stripMargin),
     "q_phrase" ->
       s"""$P SELECT DISTINCT a.docid FROM tok a
          |JOIN tok b ON a.docid = b.docid AND b.pos = a.pos + 1

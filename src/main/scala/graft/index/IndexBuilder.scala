@@ -527,6 +527,11 @@ object IndexBuilder {
 
   def load(spark: SparkSession, dir: String): BuiltIndex = {
     import spark.implicits._
+    // a loadable index needs every non-optional stage committed — meta.json
+    // alone only proves the docmap stage started (ADVICE r01)
+    Seq("docmap", "docnorms", "postings", "termstats").foreach { st =>
+      require(stageDone(dir, st), s"$dir: stage '$st' is not committed — partial build")
+    }
     val meta = readMeta(s"$dir/meta.json")
     val tri =
       if (stageDone(dir, "trigrams")) Some(spark.read.parquet(s"$dir/trigrams").as[TriBlock])

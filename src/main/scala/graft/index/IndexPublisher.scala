@@ -25,7 +25,8 @@ object IndexPublisher {
       // next monotone version (resume-friendly: deterministic from content
       // would also work; monotone integers mirror dcs's full.<unix-ts>)
       val existing = Option(new java.io.File(root).list()).getOrElse(Array.empty)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(n => n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong)
       "v" + (if (existing.isEmpty) 1L else existing.max + 1L)
     }
     val dir = s"$root/$ver"

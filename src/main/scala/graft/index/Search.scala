@@ -215,26 +215,125 @@ object Search {
               target = sorted(p + 1).docId
             j = 0
             while (j <= p) { sorted(j).seek(target); j += 1 }
-          } else if (!sorted(0).exhausted && sorted(0).docId == pivotDoc) {
-            // fully score pivotDoc. NB: shallow seeks may have advanced
-            // some cursors' docIds, so gather ALL cursors at pivotDoc
-            // (not just the stale sorted prefix); sum in lexicographic
-            // term order for bit-identical determinism
-            val here = sorted.filter(c => !c.exhausted && c.docId == pivotDoc).sortBy(_.term)
-            val dl = dls((pivotDoc - base).toInt)
-            var s = 0.0
-            here.foreach { c => s += BM25.score(c.tf, dfs(c.term), dl, nDocs, avgdl) }
-            offer(pivotDoc, s)
-            here.foreach(_.next())
           } else {
+            // fully seek EVERY cursor ≤ p to pivotDoc before scoring: a
+            // cursor whose current block spans pivotDoc can still sit on
+            // an earlier docId after the shallow seek — scoring from the
+            // stale positions would drop its contribution and later
+            // re-offer the same doc with a second partial score. After
+            // the seeks, every cursor ≤ p is at docId ≥ pivotDoc (and
+            // cursors > p were folded into p by the pivot extension), so
+            // each docId is scored exactly once, with all contributions.
             j = 0
-            while (j < p) {
-              if (!sorted(j).exhausted && sorted(j).docId < pivotDoc)
-                sorted(j).seek(pivotDoc)
-              j += 1
+            while (j <= p) { sorted(j).seek(pivotDoc); j += 1 }
+            // gather cursors at pivotDoc; sum in lexicographic term order
+            // for bit-identical determinism
+            val here = sorted.take(p + 1)
+              .filter(c => !c.exhausted && c.docId == pivotDoc).sortBy(_.term)
+            if (here.nonEmpty) {
+              val dl = dls((pivotDoc - base).toInt)
+              var s = 0.0
+              here.foreach { c => s += BM25.score(c.tf, dfs(c.term), dl, nDocs, avgdl) }
+              offer(pivotDoc, s)
+              here.foreach(_.next())
             }
+            // if no cursor actually contains pivotDoc every cursor ≤ p has
+            // advanced strictly past it — progress is guaranteed either way
           }
         }
+      }
+    }
+    heap.dequeueAll.reverse.toSeq
+  }
+
+  /** Conjunctive scored top-k: docs containing ALL terms, BM25-ranked.
+    * This is the dcs match semantics (every query term must occur,
+    * `internal/index/query.go:48-62`) with the north rule's BM25 ranking
+    * on top — the fast path `QueryRunner.run` uses so that adding a
+    * filter never changes WHICH docs can match (ADVICE r01).
+    *
+    * Per shard: leapfrog intersection over the lazy block cursors (block
+    * skips ride on [firstDoc,lastDoc] metadata, so wide gaps between a
+    * rare and a common term's postings never decode the skipped blocks),
+    * scoring only aligned docs. Then global TakeOrdered, as in topK. */
+  def topKAnd(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct.sorted
+    val stats = idx.termstats.filter(col("term").isin(terms: _*))
+      .collect().map(t => t.term -> t).toMap
+    if (terms.isEmpty || !terms.forall(stats.contains))
+      return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+    val dfs: Map[String, Long] = terms.map(t => t -> stats(t).df).toMap
+    val meta = idx.meta
+    val dps = meta.docsPerShard
+    val nDocs = meta.nDocs
+    val avgdl = meta.avgdl
+    val nTerms = terms.length
+
+    val blocks = idx.postings.filter(col("term").isin(terms: _*))
+    val perShard = blocks.groupByKey(_.shard).cogroup(idx.docnorms.groupByKey(_.shard)) {
+      (_, blockIt, normIt) =>
+        val norms = normIt.toSeq.headOption
+        if (norms.isEmpty) Iterator.empty
+        else {
+          val dls = Varint.decodeInts(norms.get.dls, norms.get.n)
+          andShard(blockIt, dls, norms.get.base, dps, dfs, nDocs, avgdl, k, nTerms).iterator
+        }
+    }
+    perShard.toDF("docId", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Leapfrog-intersect one shard's cursors, scoring aligned docs. */
+  private def andShard(
+      blockIt: Iterator[PostingBlock],
+      dls: Array[Int], base: Long, dps: Long,
+      dfs: Map[String, Long], nDocs: Long, avgdl: Double,
+      k: Int, nTerms: Int): Seq[(Long, Double)] = {
+    val byTerm = blockIt.toArray.groupBy(_.term)
+    if (byTerm.size < nTerms) return Nil // some term absent in this shard
+    // cursors sorted by term: deterministic score-accumulation order
+    val cursors = byTerm.toArray.sortBy(_._1).map { case (_, bs) =>
+      new TermCursor(bs.head.term, bs.sortBy(_.firstDoc), dps, 0.0, _ => 0.0)
+    }
+    implicit val ord: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
+    var target = 0L
+    var live = true
+    while (live) {
+      // raise every cursor to ≥ target, lifting target to the max docId
+      // seen, until all cursors align (classic leapfrog)
+      var aligned = false
+      while (live && !aligned) {
+        aligned = true
+        var i = 0
+        while (live && i < cursors.length) {
+          val c = cursors(i)
+          if (c.exhausted) live = false
+          else {
+            if (c.docId < target) c.seek(target)
+            if (c.exhausted) live = false
+            else if (c.docId > target) { target = c.docId; aligned = false }
+          }
+          i += 1
+        }
+      }
+      if (live) {
+        val dl = dls((target - base).toInt)
+        var s = 0.0
+        var i = 0
+        while (i < cursors.length) {
+          s += BM25.score(cursors(i).tf, dfs(cursors(i).term), dl, nDocs, avgdl)
+          i += 1
+        }
+        if (heap.size < k) heap.enqueue((target, s))
+        else {
+          val (wd, ws) = heap.head
+          if (s > ws || (s == ws && target < wd)) { heap.dequeue(); heap.enqueue((target, s)) }
+        }
+        target += 1
       }
     }
     heap.dequeueAll.reverse.toSeq
@@ -246,9 +345,9 @@ object Search {
   def searchAnd(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
     val terms = queryTerms.distinct.sorted
-    val present = idx.termstats.filter(col("term").isin(terms: _*)).count()
-    if (present < terms.length)
-      return spark.emptyDataset[Long].toDF("docId") // some term matches nothing
+    // NB: no separate absent-term pre-check job — a globally absent term
+    // means byTerm.size < nTerms in EVERY shard, so the per-shard guard
+    // below already yields the empty result in the same single Spark job
     val dps = idx.meta.docsPerShard
     val nTerms = terms.length
     idx.postings.filter(col("term").isin(terms: _*))

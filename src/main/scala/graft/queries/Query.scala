@@ -102,21 +102,31 @@ object QueryRunner {
     * single TakeOrdered-style pass. */
   def page(spark: SparkSession, idx: BuiltIndex, q: String, perPage: Int, pageNo: Int): DataFrame = {
     val all = run(spark, idx, q, perPage * (pageNo + 1))
+    // `all` is already limit(k)-bounded, so the single-partition window is
+    // intentional; the constant partition key silences the WindowExec
+    // "no partition defined" warning without changing the plan shape
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("score").desc, col("docId").asc)
     all.withColumn("rank", row_number().over(w))
       .filter(col("rank") > perPage * pageNo && col("rank") <= perPage * (pageNo + 1))
       .select(col("docId"), col("url"), col("score"), col("rank"))
   }
 
+  /** One match semantics everywhere (ADVICE r01): bare terms are
+    * CONJUNCTIVE (all must occur — dcs's posting-query model,
+    * `internal/index/query.go:48-62`), `OR` groups are disjunctive, and
+    * adding a filter (lang:/site:/-term/phrase) only restricts the same
+    * candidate set — it never changes which docs can match. */
   def run(spark: SparkSession, idx: BuiltIndex, q: String, k: Int): DataFrame = {
     val p = QueryParser.parse(q)
     val needsRestrict =
       p.phrases.nonEmpty || p.negTerms.nonEmpty || p.lang.nonEmpty ||
         p.site.nonEmpty || p.orTerms.nonEmpty
     if (!needsRestrict && p.andTerms.nonEmpty) {
-      // pure ranked retrieval: the WAND fast path
-      return Search.topK(spark, idx, p.andTerms, k)
+      // pure ranked retrieval fast path: conjunctive scored top-k — the
+      // same docs the filtered path below would admit via searchAnd
+      return Search.topKAnd(spark, idx, p.andTerms, k)
         .join(idx.docmap.select("docId", "url"), "docId")
         .select("docId", "url", "score")
         .orderBy(col("score").desc, col("docId").asc)

@@ -36,9 +36,19 @@ object IndexFeeder {
       .start()
   }
 
-  def batchDirs(root: String): Seq[String] =
+  /** Committed batch directories. A batch counts as committed only when
+    * its FINAL build stages carry commit markers — meta.json alone is
+    * written during the first (docmap) stage, so gating on it would let a
+    * concurrent merge load a batch whose postings/termstats parquet don't
+    * exist yet (or a partial batch left by a mid-build crash). */
+  def batchDirs(root: String, withTrigrams: Boolean = true): Seq[String] =
     Option(new java.io.File(s"$root/batches").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
+      .filter { f =>
+        f.isDirectory &&
+          new java.io.File(f, "meta.json").exists() &&
+          new java.io.File(f, "_COMMITTED_termstats").exists() &&
+          (!withTrigrams || new java.io.File(f, "_COMMITTED_trigrams").exists())
+      }
       .sortBy(_.getName.drop(1).toLong)
       .map(_.getAbsolutePath).toSeq
 
@@ -47,7 +57,7 @@ object IndexFeeder {
     * version and atomically publish it. */
   def mergeAndPublish(spark: SparkSession, root: String,
       cfg: IndexBuilder.Config = IndexBuilder.Config()): Option[BuiltIndex] = {
-    val dirs = batchDirs(root)
+    val dirs = batchDirs(root, withTrigrams = cfg.buildTrigrams)
     if (dirs.isEmpty) return None
     val parts = dirs.map(d => IndexBuilder.load(spark, d))
     val merged = IndexMerger.merge(spark, parts, cfg)

@@ -118,6 +118,87 @@ class EngineSpec extends AnyFunSuite {
     assert(Search.topK(spark, idx, Seq("zzqnohit"), 10).count() == 0)
   }
 
+  /** Pure-Scala BM25 scorer (shares nothing with the index path). Sums
+    * contributions in lexicographic term order like the engine. */
+  private def localTopK(rows: Seq[(Long, String)], terms: Seq[String], k: Int,
+      requireAll: Boolean = false): Seq[(Long, Double)] = {
+    import graft.functions.BM25
+    val toks = rows.map { case (id, t) => id -> Text.tokenize(t) }
+    val n = rows.length.toLong
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val sorted = terms.distinct.sorted
+    val dfm = sorted.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    toks.flatMap { case (id, tk) =>
+      val dl = tk.length
+      var s = 0.0
+      var hit = 0
+      sorted.foreach { t =>
+        val tf = tk.count(_ == t)
+        if (tf > 0) { hit += 1; s += BM25.score(tf, dfm(t), dl, n, avgdl) }
+      }
+      if (hit > 0 && (!requireAll || hit == sorted.length)) Some((id, s)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  private def assertSameRanking(got: Seq[(Long, Double)], want: Seq[(Long, Double)],
+      label: String): Unit = {
+    assert(got.map(_._1) == want.map(_._1), s"$label docIds:\ngot= $got\nwant=$want")
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"$label score: $a vs $b")
+    }
+  }
+
+  test("randomized WAND rank identity (BMW partial-score regression)") {
+    // tiny blocks + skewed random corpora maximize the odds of a shallow
+    // seek landing one cursor on the pivot while another block-spanning
+    // cursor still sits below it — the r01 partial-score/duplicate bug
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 0 until 3) {
+      val nDocs = 150 + trial * 70
+      val rows = (0L until nDocs.toLong).map { i =>
+        val len = 1 + rnd.nextInt(30)
+        // zipf-ish skew towards the head of the vocab
+        val words = Array.fill(len)(vocab(math.min(
+          rnd.nextInt(vocab.length), rnd.nextInt(vocab.length))))
+        (f"u$i%06d", words.mkString(" "), "en")
+      }
+      val df = spark.createDataFrame(rows).toDF("url", "text", "lang")
+      val tIdx = IndexBuilder.build(spark, df,
+        IndexBuilder.Config(docsPerShard = 32, blockSize = 4,
+          partitions = 4, buildTrigrams = false))
+      val local = rows.zipWithIndex.map { case ((_, t, _), i) => (i.toLong, t) }
+      for (qn <- 0 until 4) {
+        val q = rnd.shuffle(vocab.toSeq).take(2 + rnd.nextInt(3))
+        for (k <- Seq(3, 10)) {
+          val got = Search.topK(spark, tIdx, q, k).collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assertSameRanking(got, localTopK(local, q, k), s"trial=$trial q=$q k=$k")
+          assert(got.map(_._1).distinct.length == got.length,
+            s"duplicate docIds in top-k: $got")
+          val gotAnd = Search.topKAnd(spark, tIdx, q, k).collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assertSameRanking(gotAnd, localTopK(local, q, k, requireAll = true),
+            s"AND trial=$trial q=$q k=$k")
+        }
+      }
+    }
+  }
+
+  test("topKAnd is conjunctive and matches brute-force restricted scoring") {
+    val q = Seq("the", "qmarker5")
+    val got = Search.topKAnd(spark, idx, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assertSameRanking(got, localTopK(local, q, 10, requireAll = true), s"q=$q")
+    // a doc missing any term must not appear
+    val andSet = Search.searchAnd(spark, idx, q).as[Long].collect().toSet
+    assert(got.forall(r => andSet(r._1)))
+    // absent term -> empty
+    assert(Search.topKAnd(spark, idx, Seq("the", "zzqnohit"), 10).count() == 0)
+  }
+
   test("phrase query finds planted bigram exactly") {
     val expected = (0L until N).filter(_ % 211 == 5)
       .map(i => urlToDocId(PageGen.url(i))).toSet

@@ -46,7 +46,16 @@ class StreamingSpec extends AnyFunSuite {
     }
     query.stop()
 
-    assert(IndexFeeder.batchDirs(root).size >= 1)
+    assert(IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams).size >= 1)
+    // a partially-built batch (meta.json only, no final stage markers)
+    // must NOT count as committed
+    val partial = new java.io.File(s"$root/batches/b999")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/batches/b999/meta.json"), "{}")
+    assert(!IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams)
+      .exists(_.endsWith("b999")))
+    org.apache.commons.io.FileUtils.deleteDirectory(partial)
     val merged = IndexFeeder.mergeAndPublish(spark, root, cfg)
     assert(merged.isDefined)
     assert(IndexPublisher.currentVersion(root).isDefined)
