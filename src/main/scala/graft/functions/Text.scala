@@ -44,6 +44,40 @@ object Text {
     Array.tabulate(toks.length)(i => (toks(i), i))
   }
 
+  /** True iff every char is < 0x80. ASCII text admits the zero-copy
+    * tokenization fast paths (per-char `|0x20` lowercasing is exact for
+    * ASCII); anything else falls back to the String.toLowerCase-based
+    * reference implementations so exotic case mappings (Kelvin sign,
+    * dotted İ) keep byte-identical semantics. */
+  def isAscii(text: String): Boolean = {
+    var i = 0
+    val n = text.length
+    while (i < n) { if (text.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
+  /** Token count == tokenize(text).length, allocation-free on ASCII text
+    * (no lowercased copy, no token array/substrings) — the docmap stage's
+    * `dl` column at web scale is this loop. */
+  def countTokens(text: String): Int = {
+    if (!isAscii(text)) return tokenize(text).length
+    val n = text.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')) {
+        count += 1
+        i += 1
+        while (i < n && {
+          val d = text.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') || (d >= 'A' && d <= 'Z')
+        }) i += 1
+      } else i += 1
+    }
+    count
+  }
+
   // ---- byte trigrams (dcs semantics) -------------------------------------
 
   /** The all-spaces trigram 0x202020, excluded from positional sections
@@ -89,8 +123,37 @@ object Text {
 
   /** Allocation-free variant for hot loops: the caller supplies the
     * 2 MiB distinct-trigram bitset, reused across documents. */
-  def indexableReusing(text: String, seen: java.util.BitSet): Boolean = {
-    val b = text.getBytes(StandardCharsets.UTF_8)
+  def indexableReusing(text: String, seen: java.util.BitSet): Boolean =
+    if (isAscii(text)) indexableAscii(text, seen)
+    else indexableBytes(text.getBytes(StandardCharsets.UTF_8), seen)
+
+  /** ASCII fast path: chars ARE the UTF-8 bytes, so the gate runs with no
+    * byte-array copy at all. */
+  def indexableAscii(text: String, seen: java.util.BitSet): Boolean = {
+    val n = text.length
+    if (n < 3 || n > MaxFileLen) return false
+    var lineLen = 0
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) == '\n') lineLen = 0
+      else { lineLen += 1; if (lineLen > MaxLineLen) return false }
+      i += 1
+    }
+    seen.clear()
+    var distinct = 0
+    var tv = (text.charAt(0) << 8) | text.charAt(1)
+    i = 2
+    while (i < n) {
+      tv = ((tv << 8) | text.charAt(i)) & 0xffffff
+      if (!seen.get(tv)) { seen.set(tv); distinct += 1; if (distinct > MaxTextTrigrams) return false }
+      i += 1
+    }
+    true
+  }
+
+  /** Byte-level gate for callers that already materialized the UTF-8
+    * bytes (one getBytes copy instead of two). */
+  def indexableBytes(b: Array[Byte], seen: java.util.BitSet): Boolean = {
     if (b.length < 3 || b.length > MaxFileLen) return false
     var lineLen = 0
     var i = 0

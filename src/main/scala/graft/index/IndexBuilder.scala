@@ -138,6 +138,55 @@ private final class TermMap(initialCapacity: Int = 1 << 12) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** ASCII-folded variant: hashes and compares the [start,end) slice with
+    * A–Z lowercased per char — exact for ASCII input — so the hot loop
+    * needs NO lowercased copy of the document. The lowercased key string
+    * materializes only on first insert (once per distinct term per shard). */
+  def getOrInsertFolded(s: String, start: Int, end: Int): PostingAcc = {
+    var h = 0
+    var i = start
+    while (i < end) {
+      var c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      h = h * 31 + c
+      i += 1
+    }
+    var idx = h & mask
+    while (true) {
+      val k = keys(idx)
+      if (k == null) {
+        if (size * 4 >= cap * 3) { grow(); return getOrInsertFolded(s, start, end) }
+        val buf = new Array[Char](end - start)
+        var j = start
+        while (j < end) {
+          var c = s.charAt(j)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          buf(j - start) = c
+          j += 1
+        }
+        val acc = new PostingAcc
+        keys(idx) = new String(buf); vals(idx) = acc; size += 1
+        return acc
+      } else if (k.length == end - start && foldedEquals(k, s, start)) {
+        return vals(idx)
+      }
+      idx = (idx + 1) & mask
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def foldedEquals(k: String, s: String, start: Int): Boolean = {
+    var i = 0
+    val n = k.length
+    while (i < n) {
+      var c = s.charAt(start + i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c != k.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def sortedEntries: Array[(String, PostingAcc)] = {
     val out = new Array[(String, PostingAcc)](size)
     var i = 0; var w = 0
@@ -162,9 +211,37 @@ private final class ShardIndexer(shard: Int, docsPerShard: Long, blockSize: Int)
   def add(term: String, localDoc: Int, pos: Int): Unit =
     terms.getOrInsert(term, 0, term.length).add(localDoc, pos)
 
-  /** Tokenize-and-add straight from the lowercased text — zero per-token
-    * allocation (tokens = maximal [a-z0-9] runs, Text.tokenize semantics). */
-  def addDoc(localDoc: Int, text: String): Unit = {
+  /** Tokenize-and-add with zero per-token allocation (tokens = maximal
+    * [a-z0-9] runs after lowercasing, Text.tokenize semantics). ASCII
+    * documents — the overwhelming common case — run the zero-COPY path:
+    * no whole-document toLowerCase materializes (that copy was the
+    * memory-bandwidth ceiling of the r01 8→32-core scaling measurements);
+    * folding happens per char inside the hash/compare. Non-ASCII falls
+    * back to the String.toLowerCase reference semantics. */
+  def addDoc(localDoc: Int, text: String): Unit =
+    if (Text.isAscii(text)) addDocAscii(localDoc, text)
+    else addDocGeneric(localDoc, text)
+
+  private def addDocAscii(localDoc: Int, s: String): Unit = {
+    val n = s.length
+    var i = 0
+    var tokIdx = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')) {
+        val start = i
+        i += 1
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9') || (d >= 'A' && d <= 'Z')
+        }) i += 1
+        terms.getOrInsertFolded(s, start, i).add(localDoc, tokIdx)
+        tokIdx += 1
+      } else i += 1
+    }
+  }
+
+  private def addDocGeneric(localDoc: Int, text: String): Unit = {
     val s = text.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     var i = 0
@@ -266,7 +343,7 @@ object IndexBuilder {
     val nShards = math.max(1, ((nDocs + dps - 1) / dps)).toInt
 
     val docmap: Dataset[DocEntry] = withIds.map { case (id, url, text, lang) =>
-      DocEntry(id, url, (id / dps).toInt, Text.tokenize(text).length, lang)
+      DocEntry(id, url, (id / dps).toInt, Text.countTokens(text), lang)
     }.cache()
 
     val avgdl = docmap.agg(avg(col("dl"))).as[Double].head()
@@ -279,10 +356,11 @@ object IndexBuilder {
           Varint.encodeInts(entries.map(_._2)))
       }
 
-    val postings = encodeTokenPostings(spark, withIds, dps, cfg)
+    val docText = withIds.map { case (id, _, text, _) => (id, text) }
+    val postings = encodeTokenPostings(spark, docText, dps, cfg)
 
     val trigrams =
-      if (cfg.buildTrigrams) Some(encodeTriPostings(spark, withIds, dps, cfg))
+      if (cfg.buildTrigrams) Some(encodeTriPostings(spark, docText, dps, cfg))
       else None
 
     val termstats = postings
@@ -302,11 +380,11 @@ object IndexBuilder {
     * memory budget (dcs sizes shards the same way, howto/index.md:12-15). */
   def encodeTokenPostings(
       spark: SparkSession,
-      withIds: Dataset[(Long, String, String, String)],
+      docText: Dataset[(Long, String)],
       dps: Long,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
-    val docs = withIds.map { case (id, _, text, _) => ((id / dps).toInt, id, text) }
+    val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
       .toDF("shard", "docId", "text")
       .repartition(cfg.partitions, col("shard"))
       .sortWithinPartitions("shard", "docId")
@@ -376,11 +454,11 @@ object IndexBuilder {
     * 24-bit trigram. */
   def encodeTriPostings(
       spark: SparkSession,
-      withIds: Dataset[(Long, String, String, String)],
+      docText: Dataset[(Long, String)],
       dps: Long,
       cfg: Config): Dataset[TriBlock] = {
     import spark.implicits._
-    val docs = withIds.map { case (id, _, text, _) => ((id / dps).toInt, id, text) }
+    val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
       .toDF("shard", "docId", "text")
       .repartition(cfg.partitions, col("shard"))
       .sortWithinPartitions("shard", "docId")
@@ -398,11 +476,24 @@ object IndexBuilder {
         if (shard != curShard) {
           flush(); indexer = new TriShardIndexer(shard, dps, cfg.blockSize); curShard = shard
         }
-        if (Text.indexableReusing(text, seen)) {
-          val local = (id - shard.toLong * dps).toInt
-          // inline rolling byte-trigram scan: no per-occurrence tuples
+        val local = (id - shard.toLong * dps).toInt
+        // inline rolling byte-trigram scan: no per-occurrence tuples.
+        // ASCII docs scan chars directly (char == UTF-8 byte — zero byte
+        // copies); others materialize the UTF-8 bytes exactly once and
+        // share them between the ingest gate and the scan.
+        if (Text.isAscii(text)) {
+          if (Text.indexableAscii(text, seen)) {
+            var tv = (text.charAt(0) << 8) | text.charAt(1)
+            var i = 2
+            while (i < text.length) {
+              tv = ((tv << 8) | text.charAt(i)) & 0xffffff
+              indexer.add(tv, local, i - 2)
+              i += 1
+            }
+          }
+        } else {
           val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          if (b.length >= 3) {
+          if (Text.indexableBytes(b, seen)) {
             var tv = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
             var i = 2
             while (i < b.length) {
@@ -471,7 +562,7 @@ object IndexBuilder {
       val dps = cfg.docsPerShard
       assignDocIds(spark, docs, cfg.partitions)
         .map { case (id, url, text, lang) =>
-          (id, url, text, lang, (id / dps).toInt, Text.tokenize(text).length)
+          (id, url, text, lang, (id / dps).toInt, Text.countTokens(text))
         }
         .toDF("docId", "url", "text", "lang", "shard", "dl")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
@@ -486,9 +577,11 @@ object IndexBuilder {
     }
 
     val meta = readMeta(s"$dir/meta.json")
-    lazy val withIds = spark.read.parquet(s"$dir/docs")
-      .select("docId", "url", "text", "lang")
-      .as[(Long, String, String, String)]
+    // posting stages read ONLY (docId, text) — the projection reaches the
+    // parquet scan (url/lang are never deserialized in the hot stages)
+    lazy val docText = spark.read.parquet(s"$dir/docs")
+      .select("docId", "text")
+      .as[(Long, String)]
 
     if (!stageDone(dir, "docnorms")) {
       spark.read.parquet(s"$dir/docs").select("docId", "shard", "dl")
@@ -504,7 +597,7 @@ object IndexBuilder {
     }
 
     if (!stageDone(dir, "postings")) {
-      encodeTokenPostings(spark, withIds, meta.docsPerShard, cfg)
+      encodeTokenPostings(spark, docText, meta.docsPerShard, cfg)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
       commitStage(dir, "postings"); stageEnd("postings"); ran += 1
     }
@@ -518,7 +611,7 @@ object IndexBuilder {
     }
 
     if (cfg.buildTrigrams && !stageDone(dir, "trigrams")) {
-      encodeTriPostings(spark, withIds, meta.docsPerShard, cfg)
+      encodeTriPostings(spark, docText, meta.docsPerShard, cfg)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
       commitStage(dir, "trigrams"); stageEnd("trigrams"); ran += 1
     }

@@ -55,8 +55,10 @@ object Probe {
       case "encode" =>
         val withIds = pages.toDF().select("url", "text", "lang")
         val ids = graft.index.IndexBuilder.assignDocIds(spark, withIds, cores * 4)
+        import spark.implicits._
+        val docText = ids.map { case (id, _, text, _) => (id, text) }
         val blocks = graft.index.IndexBuilder.encodeTokenPostings(
-          spark, ids, math.max(1L, n / (cores * 4L)),
+          spark, docText, math.max(1L, n / (cores * 4L)),
           graft.index.IndexBuilder.Config(partitions = cores * 4))
         println("blocks=" + blocks.count())
     }
