@@ -53,19 +53,30 @@ object QueryBench {
       s(math.min(s.length - 1, math.ceil(p / 100.0 * s.length).toInt - 1).max(0))
     }
 
+    // cost split mirrors dcs replay (`cmd/dcs/replay.go:37-45`):
+    // posting_ms = candidate generation (posting evaluation) alone;
+    // total_ms = the full query (candidates + BM25 + top-k + docmap);
+    // files_searched = candidate count, matches = result rows
     val results = QuerySet.map { case (name, q) =>
       // warm once (plan compile), then measure
       QueryRunner.run(spark, idx, q, 10).collect()
-      val times = Array.fill(iters) {
+      QueryRunner.candidates(spark, idx, q).count()
+      val totals = Array.fill(iters) {
         val t0 = System.nanoTime()
         val n = QueryRunner.run(spark, idx, q, 10).collect().length
         ((System.nanoTime() - t0) / 1e6, n)
       }
-      val ms = times.map(_._1)
-      (name, pct(ms, 50), pct(ms, 95), times.head._2)
+      val postings = Array.fill(iters) {
+        val t0 = System.nanoTime()
+        val n = QueryRunner.candidates(spark, idx, q).count()
+        ((System.nanoTime() - t0) / 1e6, n)
+      }
+      (name, pct(totals.map(_._1), 50), pct(totals.map(_._1), 95),
+        pct(postings.map(_._1), 50), postings.head._2, totals.head._2)
     }
-    val qjson = results.map { case (n, p50, p95, rows) =>
-      f""""$n":{"p50_ms":$p50%.1f,"p95_ms":$p95%.1f,"rows":$rows}"""
+    val qjson = results.map { case (n, p50, p95, post50, searched, rows) =>
+      f""""$n":{"p50_ms":$p50%.1f,"p95_ms":$p95%.1f,""" +
+        f""""posting_p50_ms":$post50%.1f,"files_searched":$searched,"matches":$rows}"""
     }.mkString("{", ",", "}")
     println(s"""{"n_docs":$nDocs,"cores":$cores,"iters":$iters,"queries":$qjson}""")
     spark.stop()

@@ -28,12 +28,20 @@ object Scaling {
     val shmDir = "/dev/shm/graft-spark"
     new java.io.File(shmDir).mkdirs()
 
+    // task-granularity knobs: finer input splits and more shards/partitions
+    // than cores give the scheduler slack to absorb hypervisor CPU steal
+    // (a single stolen slot otherwise stretches a whole fat-task stage)
+    val shardsPerCore = sys.env.getOrElse("SPARK_GRAFT_SHARDS_PER_CORE", "2").toInt
+    val partsPerCore = sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "2").toInt
+    val maxPartMb = sys.env.getOrElse("SPARK_GRAFT_MAXPART_MB", "32").toInt
+
     def session(cores: Int): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
         .config("spark.sql.shuffle.partitions", (cores * 4).toString)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", (maxPartMb * 1024L * 1024L).toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.local.dir", shmDir)
         .config("spark.ui.enabled", "false")
@@ -73,12 +81,12 @@ object Scaling {
       IndexBuilder.buildPersistent(spark, docs, dir,
         IndexBuilder.Config(
           // shard count fixed by the HIGH level so both runs build the
-          // identical index; 2 shards per core keeps tasks fat enough
-          // that scheduling overhead stays negligible
-          docsPerShard = math.max(1L, nDocs / (nHigh * 2L)),
+          // identical index; shardsPerCore trades scheduler floor against
+          // steal-absorbing slack
+          docsPerShard = math.max(1L, nDocs / (nHigh.toLong * shardsPerCore)),
           blockSize = 256,
           buildTrigrams = false,
-          partitions = cores * 2),
+          partitions = cores * partsPerCore),
         onStage = (st, sec) => {
           println(f"[scaling] cores=$cores stage=$st sec=$sec%.2f")
           val k = (cores, st)

@@ -38,7 +38,9 @@ object SparkEntry {
       IndexBuilder.build(s, corpus(s, dir).select("url", "text", "lang"), cfg).cache())
 
   /** Two sub-indexes over contiguous halves of the url order, merged —
-    * exercises the ConcatN-style merge (J7) on the oracle corpus. */
+    * exercises the general (re-encode) ConcatN merge (J7) on the oracle
+    * corpus: the split point is NOT shard-aligned, so the fast path must
+    * decline. */
   def merged(s: SparkSession, dir: String): BuiltIndex =
     mergedCache.getOrElseUpdate(dir, {
       val c = corpus(s, dir).select("url", "text", "lang", "doc_id")
@@ -49,6 +51,23 @@ object SparkEntry {
         c.filter(col("doc_id") < half).drop("doc_id"),
         c.filter(col("doc_id") >= half).drop("doc_id"))
         .map(df => IndexBuilder.build(s, df, mcfg))
+      assert(!IndexMerger.canConcat(parts, mcfg))
+      IndexMerger.merge(s, parts, mcfg).cache()
+    })
+
+  private val concatCache = TrieMap.empty[String, BuiltIndex]
+
+  /** Shard-ALIGNED split (first part = 2 whole shards of 128 docs) so the
+    * merge runs the block-level concat fast path — no posting decode. */
+  def mergedConcat(s: SparkSession, dir: String): BuiltIndex =
+    concatCache.getOrElseUpdate(dir, {
+      val c = corpus(s, dir).select("url", "text", "lang", "doc_id")
+      val mcfg = cfg.copy(buildTrigrams = false)
+      val parts = Seq(
+        c.filter(col("doc_id") < 256).drop("doc_id"),
+        c.filter(col("doc_id") >= 256).drop("doc_id"))
+        .map(df => IndexBuilder.build(s, df, mcfg))
+      assert(IndexMerger.canConcat(parts, mcfg), "expected the concat fast path")
       IndexMerger.merge(s, parts, mcfg).cache()
     })
 
@@ -61,6 +80,7 @@ object SparkEntry {
   val Bm25Terms = Seq("data", "dup", "table")
   val PhraseTerms = Seq("data", "customer")
   val SubstringLit = "fast table"
+  val SubstringNoCaseLit = "Fast Table" // mixed case: exercises the fold
   val TriLiterals = Seq("dat", "tab", "fas")
   val RegexPattern = "qu[ae]ry|sc[ao]n"
 
@@ -128,6 +148,11 @@ object SparkEntry {
     "q_substring" -> ((s, dir) =>
       Search.substring(s, index(s, dir), docsWithIds(s, dir), SubstringLit)
         .select(col("docId").as("docid")).orderBy("docid")),
+    // case-insensitive literal search via trigram case-fold expansion —
+    // the dcs identifier-query path (sourcebackend.go:315-335)
+    "q_substring_nocase" -> ((s, dir) =>
+      Search.substringNoCase(s, index(s, dir), docsWithIds(s, dir), SubstringNoCaseLit)
+        .select(col("docId").as("docid")).orderBy("docid")),
     // X1+X2: regexp → trigram query → index eval → rlike verification
     "q_regexp" -> ((s, dir) =>
       Search.regexpSearch(s, index(s, dir), docsWithIds(s, dir), RegexPattern)
@@ -143,15 +168,25 @@ object SparkEntry {
           Postings.decodeTriDocs(b, dps).iterator.map(d => (graft.functions.Text.trigramHex(b.tri), d))
         }.toDF("tri", "docid").orderBy("tri", "docid")
     }),
-    // J7: N-way merge with docid rebase ≡ direct build
+    // J7: N-way merge with docid rebase ≡ direct build (general re-encode)
     "q_merge_termstats" -> ((s, dir) => {
       merged(s, dir).termstats.toDF()
+        .select(col("term"), col("df"), col("cf"), col("maxTf").as("max_tf"))
+        .orderBy("term")
+    }),
+    // J7 fast path: block-level concat (no decode) ≡ direct build
+    "q_merge_concat" -> ((s, dir) => {
+      mergedConcat(s, dir).termstats.toDF()
         .select(col("term"), col("df"), col("cf"), col("maxTf").as("max_tf"))
         .orderBy("term")
     }),
     // F3-analogue metadata filter + restricted scoring
     "q_lang_filter" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), "dup lang:de", 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // negated metadata filter (-lang:, the dcs -package:/npath analogue)
+    "q_neg_filter" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), "dup -lang:de", 10)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
     // T3: result pagination under the deterministic global order
     "q_page" -> ((s, dir) =>
@@ -179,15 +214,12 @@ object SparkEntry {
         .select(col("docId").as("docid"), col("line_no"), col("line"),
           size(col("before")).as("n_before"), size(col("after")).as("n_after"))
         .orderBy("docid", "line_no")),
-    // X3/X4: snippet extraction around first match
-    "q_snippet" -> ((s, dir) => {
-      corpus(s, dir)
-        .filter(col("text").contains("dup"))
-        .select(col("doc_id").as("docid"),
-          locate("dup", col("text")).as("off"),
-          expr("substring(text, greatest(locate('dup', text) - 30, 1), 60)").as("snip"))
-        .orderBy("docid")
-    }),
+    // X4: FiveLines snippet — 5-line window around the first matching
+    // line (read.go:484-528 semantics; multi-line goldens in EngineSpec)
+    "q_snippet" -> ((s, dir) =>
+      Search.fiveLines(docsWithIds(s, dir), "dup")
+        .select(col("docId").as("docid"), col("line_no"), col("snippet"))
+        .orderBy("docid")),
     // pipeline: exact dedup
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(corpus(s, dir), idCol = "doc_id")
@@ -198,10 +230,16 @@ object SparkEntry {
       Dedup.minhashBands(corpus(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4)
         .orderBy("id", "band")),
-    // pipeline: n-gram Jaccard near-dup pairs
+    // pipeline: n-gram Jaccard near-dup pairs (exact all-pairs baseline)
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(corpus(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+    // pipeline: the composed scale path — MinHash+LSH candidates →
+    // exact Jaccard verification restricted to those pairs
+    "q_lsh_jaccard" -> ((s, dir) =>
+      Dedup.lshJaccard(corpus(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.2)
         .orderBy("id1", "id2")),
     // pipeline: SimHash fingerprints
     "q_simhash" -> ((s, dir) =>
@@ -219,10 +257,25 @@ object SparkEntry {
         dim = 64, planes = 6)
         .orderBy("qid", "rank")
     }),
-    // pipeline: embedding-cosine near-duplicate pairs (exact baseline)
+    // pipeline: embedding-cosine near-duplicate pairs (exact baseline,
+    // opt-in O(n²) — the default is the LSH path below)
     "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4,
+        exact = true)
+        .orderBy("id1", "id2")),
+    // pipeline: LSH-bucketed near-dup pairs — the default & scale path
+    "q_embed_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
         .orderBy("id1", "id2")),
+    // pipeline: newest-version dedup (X10 analogue: latest event per key)
+    "q_newest_version" -> ((s, dir) =>
+      Dedup.newestVersion(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", "event_id")
+        // events.ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast
+        // yields the same wall-clock micros DuckDB's epoch_us reports
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .orderBy("user_id")),
     // pipeline: language id
     "q_langid" -> ((s, dir) => {
       val ids = corpus(s, dir).select(col("doc_id").as("docid"), col("text"))
@@ -403,6 +456,10 @@ object SparkEntry {
     "q_substring" ->
       s"""$P SELECT docid FROM ids WHERE strpos(text, '$SubstringLit') > 0
          |ORDER BY docid""".stripMargin,
+    "q_substring_nocase" ->
+      s"""$P SELECT docid FROM ids
+         |WHERE strpos(lower(text), '${SubstringNoCaseLit.toLowerCase}') > 0
+         |ORDER BY docid""".stripMargin,
     "q_regexp" ->
       s"""$P SELECT docid FROM ids WHERE regexp_matches(text, '$RegexPattern')
          |ORDER BY docid""".stripMargin,
@@ -419,9 +476,17 @@ object SparkEntry {
          |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf,
          |       CAST(max(c) AS INT) AS max_tf
          |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "q_merge_concat" ->
+      s"""$P, tf AS (SELECT term, docid, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf,
+         |       CAST(max(c) AS INT) AS max_tf
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "q_lang_filter" ->
       bm25Sql(Seq("dup"), 10,
         "WHERE docid IN (SELECT docid FROM ids WHERE lang = 'de')"),
+    "q_neg_filter" ->
+      bm25Sql(Seq("dup"), 10,
+        "WHERE docid IN (SELECT docid FROM ids WHERE lang <> 'de')"),
     "q_page" ->
       s"""$P, tf AS (
          |  SELECT term, docid, count(*) AS c FROM tok
@@ -468,9 +533,18 @@ object SparkEntry {
          |FROM ids WHERE regexp_matches(text, 'dup')
          |ORDER BY docid, line_no""".stripMargin,
     "q_snippet" ->
-      s"""$P SELECT docid, CAST(strpos(text, 'dup') AS INT) AS off,
-         |  substring(text, greatest(strpos(text, 'dup') - 30, 1), 60) AS snip
-         |FROM ids WHERE strpos(text, 'dup') > 0 ORDER BY docid""".stripMargin,
+      s"""$P, L AS (
+         |  SELECT docid, string_split(text, chr(10)) AS ls
+         |  FROM ids WHERE strpos(text, 'dup') > 0
+         |), M AS (
+         |  SELECT docid, ls,
+         |    (SELECT min(u.i) FROM (SELECT unnest(ls) AS l, generate_subscripts(ls, 1) AS i) u
+         |     WHERE strpos(u.l, 'dup') > 0) AS m
+         |  FROM L
+         |)
+         |SELECT docid, CAST(m AS INT) AS line_no,
+         |  array_to_string(ls[greatest(m - 2, 1):least(m + 2, len(ls))], chr(10)) AS snippet
+         |FROM M ORDER BY docid""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_dups
@@ -500,6 +574,29 @@ object SparkEntry {
          |JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
          |WHERE CAST(cnt AS DOUBLE) / (s1.sz + s2.sz - cnt) >= 0.2
          |ORDER BY id1, id2""".stripMargin,
+    "q_lsh_jaccard" -> {
+      val mins = (0 until 16).map(i => s"min(md5('seed$i:' || sh)) AS h$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        val sig = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, $sig AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""$P$shingCte, mh AS (
+         |  SELECT id, $mins FROM shing GROUP BY id
+         |), bandrows AS ($bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM bandrows a JOIN bandrows b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+         |), sizes AS (SELECT id, count(*) AS sz FROM shing GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS cnt
+         |  FROM pairs p JOIN shing a ON a.id = p.id1 JOIN shing b ON b.id = p.id2 AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2, round(CAST(cnt AS DOUBLE) / (s1.sz + s2.sz - cnt), 5) AS jaccard
+         |FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+         |WHERE CAST(cnt AS DOUBLE) / (s1.sz + s2.sz - cnt) >= 0.2
+         |ORDER BY id1, id2""".stripMargin
+    },
     "q_simhash" -> simhashSql,
     "q_ann_cosine" ->
       s"""$annFlat, dots AS (
@@ -548,6 +645,26 @@ object SparkEntry {
          |FROM dots JOIN norms nx ON nx.vec_id = id1 JOIN norms ny ON ny.vec_id = id2
          |WHERE dot / (nx.nrm * ny.nrm) >= 0.4
          |ORDER BY id1, id2""".stripMargin,
+    "q_embed_neardup_lsh" -> {
+      val bucket = lshBucketSql("embedding", 64, 6)
+      s"""$annFlat, buck AS (
+         |  SELECT vec_id, $bucket AS bucket FROM embeddings
+         |), dots AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  JOIN buck ba ON ba.vec_id = a.vec_id
+         |  JOIN buck bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2, round(CAST(dot / (nx.nrm * ny.nrm) AS DOUBLE), 5) AS cosine
+         |FROM dots JOIN norms nx ON nx.vec_id = id1 JOIN norms ny ON ny.vec_id = id2
+         |WHERE dot / (nx.nrm * ny.nrm) >= 0.4
+         |ORDER BY id1, id2""".stripMargin
+    },
+    "q_newest_version" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_langid" -> langidSql,
     "q_quality" -> {
       val stops = inList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)

@@ -342,8 +342,16 @@ object IndexBuilder {
     val dps = cfg.docsPerShard
     val nShards = math.max(1, ((nDocs + dps - 1) / dps)).toInt
 
-    val docmap: Dataset[DocEntry] = withIds.map { case (id, url, text, lang) =>
-      DocEntry(id, url, (id / dps).toInt, Text.countTokens(text), lang)
+    // the trigram ingest gate is evaluated once here and recorded per doc
+    // (only when trigram sections are built at all); the 2 MiB distinct-
+    // trigram bitset is reused across the partition's docs
+    val withGate = cfg.buildTrigrams
+    val docmap: Dataset[DocEntry] = withIds.mapPartitions { it =>
+      val seen = new java.util.BitSet(1 << 24)
+      it.map { case (id, url, text, lang) =>
+        DocEntry(id, url, (id / dps).toInt, Text.countTokens(text), lang,
+          !withGate || Text.indexableReusing(text, seen))
+      }
     }.cache()
 
     val avgdl = docmap.agg(avg(col("dl"))).as[Double].head()
@@ -560,11 +568,16 @@ object IndexBuilder {
       // stages read it with column pruning, and nDocs/avgdl come from
       // cheap metadata/single-column scans of the written file
       val dps = cfg.docsPerShard
+      val withGate = cfg.buildTrigrams
       assignDocIds(spark, docs, cfg.partitions)
-        .map { case (id, url, text, lang) =>
-          (id, url, text, lang, (id / dps).toInt, Text.countTokens(text))
+        .mapPartitions { it =>
+          val seen = new java.util.BitSet(1 << 24)
+          it.map { case (id, url, text, lang) =>
+            (id, url, text, lang, (id / dps).toInt, Text.countTokens(text),
+              !withGate || Text.indexableReusing(text, seen))
+          }
         }
-        .toDF("docId", "url", "text", "lang", "shard", "dl")
+        .toDF("docId", "url", "text", "lang", "shard", "dl", "indexable")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
       val stats = spark.read.parquet(s"$dir/docs")
         .agg(count(lit(1)), avg("dl")).head()
@@ -629,10 +642,14 @@ object IndexBuilder {
     val tri =
       if (stageDone(dir, "trigrams")) Some(spark.read.parquet(s"$dir/trigrams").as[TriBlock])
       else None
+    val docsDf = spark.read.parquet(s"$dir/docs")
+    val docmapDf = // tolerate pre-r02 layouts without the gate column
+      if (docsDf.columns.contains("indexable")) docsDf
+      else docsDf.withColumn("indexable", lit(true))
     BuiltIndex(
       meta,
-      spark.read.parquet(s"$dir/docs")
-        .select("docId", "url", "shard", "dl", "lang").as[DocEntry],
+      docmapDf
+        .select("docId", "url", "shard", "dl", "lang", "indexable").as[DocEntry],
       spark.read.parquet(s"$dir/docnorms").as[DocNorms],
       spark.read.parquet(s"$dir/postings").as[PostingBlock],
       tri,

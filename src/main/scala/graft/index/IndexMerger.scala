@@ -22,10 +22,88 @@ import graft.functions.Varint
   */
 object IndexMerger {
 
+  /** True when merge can run as the block-level concat (no decode at all):
+    * every part shares docsPerShard/blockSize with the target config and
+    * every part except the last holds a whole number of shards — then each
+    * source block maps 1:1 onto a target block by re-tagging its shard id
+    * and shifting firstDoc/lastDoc (the encoded docid deltas are
+    * shard-LOCAL, so the bytes are already correct). This is the dcs
+    * ConcatN fast path (`internal/index/merge.go:303-307`: only the first
+    * delta of each source run is rebased; here even that is free because
+    * the local id space is untouched). */
+  def canConcat(parts: Seq[BuiltIndex], cfg: IndexBuilder.Config): Boolean =
+    parts.nonEmpty &&
+      parts.forall(p => p.meta.docsPerShard == cfg.docsPerShard &&
+        p.meta.blockSize == cfg.blockSize) &&
+      parts.init.forall(_.meta.nDocs % cfg.docsPerShard == 0)
+
   def merge(spark: SparkSession, parts: Seq[BuiltIndex],
       cfg: IndexBuilder.Config): BuiltIndex = {
-    import spark.implicits._
     require(parts.nonEmpty)
+    if (canConcat(parts, cfg)) concatFast(spark, parts, cfg)
+    else mergeGeneral(spark, parts, cfg)
+  }
+
+  /** Metadata-only N-way concat: map each part's rows into the merged id
+    * space without decoding a single posting byte. At 100 TB this makes an
+    * incremental merge cost O(index size) in IO and ~zero CPU, instead of
+    * re-paying the whole positional encode. */
+  private def concatFast(spark: SparkSession, parts: Seq[BuiltIndex],
+      cfg: IndexBuilder.Config): BuiltIndex = {
+    import spark.implicits._
+    val bases = parts.map(_.meta.nDocs).scanLeft(0L)(_ + _)
+    val nDocs = bases.last
+    val dps = cfg.docsPerShard
+    val nShards = math.max(1, (nDocs + dps - 1) / dps).toInt
+
+    val docmap = parts.zip(bases).map { case (p, b) =>
+      p.docmap.map { d =>
+        val id = d.docId + b
+        DocEntry(id, d.url, (id / dps).toInt, d.dl, d.lang, d.indexable)
+      }
+    }.reduce(_ union _).cache()
+    val avgdl = docmap.agg(avg(col("dl"))).as[Double].head()
+
+    val docnorms = parts.zip(bases).map { case (p, b) =>
+      val baseShards = (b / dps).toInt // b is a multiple of dps by canConcat
+      p.docnorms.map { n =>
+        val shard = n.shard + baseShards
+        DocNorms(shard, shard.toLong * dps, n.n, n.dls)
+      }
+    }.reduce(_ union _)
+
+    val postings = parts.zip(bases).map { case (p, b) =>
+      val baseShards = (b / dps).toInt
+      p.postings.map(blk => blk.copy(shard = blk.shard + baseShards,
+        firstDoc = blk.firstDoc + b, lastDoc = blk.lastDoc + b))
+    }.reduce(_ union _)
+
+    val trigrams =
+      if (parts.forall(_.trigrams.isDefined))
+        Some(parts.zip(bases).map { case (p, b) =>
+          val baseShards = (b / dps).toInt
+          p.trigrams.get.map(blk => blk.copy(shard = blk.shard + baseShards,
+            firstDoc = blk.firstDoc + b, lastDoc = blk.lastDoc + b))
+        }.reduce(_ union _))
+      else None
+
+    // termstats from block metadata alone (df/cf/maxTf live on the rows)
+    val termstats = postings.toDF()
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
+      .as[TermStats]
+
+    val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
+    BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)
+  }
+
+  /** Bench-only entry to force the re-encode path on aligned parts. */
+  private[graft] def mergeGeneralForBench(spark: SparkSession, parts: Seq[BuiltIndex],
+      cfg: IndexBuilder.Config): BuiltIndex = mergeGeneral(spark, parts, cfg)
+
+  private def mergeGeneral(spark: SparkSession, parts: Seq[BuiltIndex],
+      cfg: IndexBuilder.Config): BuiltIndex = {
+    import spark.implicits._
     val bases = parts.map(_.meta.nDocs).scanLeft(0L)(_ + _)
     val nDocs = bases.last
     val dps = cfg.docsPerShard
@@ -35,7 +113,7 @@ object IndexMerger {
     val docmap = parts.zip(bases).map { case (p, b) =>
       p.docmap.map { d =>
         val id = d.docId + b
-        DocEntry(id, d.url, (id / dps).toInt, d.dl, d.lang)
+        DocEntry(id, d.url, (id / dps).toInt, d.dl, d.lang, d.indexable)
       }
     }.reduce(_ union _).cache()
 

@@ -28,13 +28,18 @@ final case class IndexMeta(
     hasPositions: Boolean,
     version: Int = 1)
 
-/** docid.map analogue: one row per document, docId dense in url order. */
+/** docid.map analogue: one row per document, docId dense in url order.
+  * `indexable` records the trigram ingest gate (F1/F2, write.go:143-147):
+  * docs failing it stay in the docmap and token index but have NO trigram
+  * postings, so substring/regexp search must union them into the
+  * verification candidates (recall-hole fix, ADVICE r01). */
 final case class DocEntry(
     docId: Long,
     url: String,
     shard: Int,
     dl: Int, // document length in tokens (BM25 norm)
-    lang: String)
+    lang: String,
+    indexable: Boolean = true)
 
 /** One posting block for a token term.
   * `docs`  = delta+varint of (docId - shard*docsPerShard), sorted distinct.

@@ -370,6 +370,63 @@ object Search {
       .toDF("docId")
   }
 
+  /** Decoded (term, docId, tf) rows for `terms`, restricted to the given
+    * docId list — with the restrict pushed INSIDE the decode (F6 proper,
+    * dcs `internal/index/query.go:139-168` + `myvarint.go:31-58`): the
+    * restrict list is co-partitioned by shard, shards with no restrict
+    * docs contribute nothing, and within a shard any block whose
+    * [firstDoc,lastDoc] range misses the (sorted) restrict list is never
+    * varint-decoded at all. A selective lang:/site: filter therefore
+    * touches O(matching blocks), not O(term's postings).
+    *
+    * `audit` (decodedBlocks, skippedBlocks) accumulators let tests assert
+    * the pruning actually happens. */
+  def restrictedTfRows(spark: SparkSession, idx: BuiltIndex, terms: Seq[String],
+      restrict: DataFrame,
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
+    import spark.implicits._
+    val sorted = terms.distinct.sorted
+    val dps = idx.meta.docsPerShard
+    val rByShard = restrict.select(col("docId")).as[Long]
+      .groupByKey(d => (d / dps).toInt)
+    val blocks = idx.postings.filter(col("term").isin(sorted: _*))
+    blocks.groupByKey(_.shard).cogroup(rByShard) { (_, blockIt, rIt) =>
+      val rs = rIt.toArray
+      if (rs.isEmpty) Iterator.empty
+      else {
+        java.util.Arrays.sort(rs)
+        blockIt.flatMap { b =>
+          // lowest restrict doc ≥ firstDoc; block decodes only if it is
+          // ≤ lastDoc (i.e. the restrict list intersects the block range)
+          var lo = 0
+          var hi = rs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (rs(mid) < b.firstDoc) lo = mid + 1 else hi = mid
+          }
+          if (lo >= rs.length || rs(lo) > b.lastDoc) {
+            audit.foreach(_._2.add(1))
+            Iterator.empty
+          } else {
+            audit.foreach(_._1.add(1))
+            val (ds, tfs) = Postings.decodeDocsTfs(b, dps)
+            // merge-intersect the decoded docs with rs[lo..]
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
+            var i = 0
+            var j = lo
+            while (i < ds.length && j < rs.length) {
+              if (ds(i) == rs(j)) { out += ((b.term, ds(i), tfs(i))); i += 1; j += 1 }
+              else if (ds(i) < rs(j)) i += 1
+              else j += 1
+            }
+            out.iterator
+          }
+        }
+      }
+    }.toDF("term", "docId", "tf")
+  }
+
   /** Posting OR (J2): union with dedup. */
   def searchOr(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -474,10 +531,98 @@ object Search {
       }
       .toDF("docId")
     // exact verification join (dcs's bytes.Equal stage,
-    // sourcebackend.go:447-545): conservative candidates -> true matches
-    candidates.join(docs, "docId")
+    // sourcebackend.go:447-545): conservative candidates -> true matches.
+    // Docs that failed the trigram ingest gate have no trigram postings
+    // but are still part of the corpus — union them into the candidates
+    // so verification sees them (recall-hole fix; dcs instead excludes
+    // them from the corpus entirely, write.go:143-147)
+    candidates.union(nonIndexableDocs(idx)).distinct()
+      .join(docs, "docId")
       .filter(col("text").contains(literal))
       .select("docId")
+  }
+
+  /** docIds absent from the trigram index (failed the ingest gate). */
+  private def nonIndexableDocs(idx: BuiltIndex): DataFrame =
+    idx.docmap.filter(col("indexable") === false).select(col("docId")).toDF()
+
+  /** Case-insensitive literal search — the dcs identifier-query path
+    * (`internal/sourcebackend/sourcebackend.go:315-335` routes these via
+    * the case-folding regexp compiler; per `howto/index.md:29-31` this is
+    * ~78% of production queries). The lowercased literal's trigrams are
+    * expanded to ALL case variants (≤8 per trigram, like
+    * TrigramCompiler's fold), docs containing ANY variant of EVERY
+    * trigram are candidates (first/last positional refinement over the
+    * variant-union position lists), then `lower(text)` verification. */
+  def substringNoCase(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
+      literal: String): DataFrame = {
+    import spark.implicits._
+    val folded = literal.toLowerCase(java.util.Locale.ROOT)
+    val verified: DataFrame => DataFrame = cand =>
+      cand.join(docs, "docId")
+        .filter(lower(col("text")).contains(folded))
+        .select("docId")
+    // non-ASCII case folding changes the UTF-8 byte layout between cases;
+    // fall back to a verified scan for those rare literals
+    if (!graft.functions.Text.isAscii(folded) || idx.trigrams.isEmpty)
+      return verified(idx.docmap.select(col("docId")).toDF())
+    val bytes = folded.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(bytes.length >= 3, "substring query needs >= 3 bytes")
+    val grams = Text.trigramsWithOffsets(folded)
+    val needed = grams.map(_._1).distinct
+    def variants(t: Int): Seq[Int] = {
+      def opts(b: Int): Seq[Int] =
+        if (b >= 'a' && b <= 'z') Seq(b, b - 32) else Seq(b)
+      for {
+        b0 <- opts((t >> 16) & 0xff)
+        b1 <- opts((t >> 8) & 0xff)
+        b2 <- opts(t & 0xff)
+      } yield (b0 << 16) | (b1 << 8) | b2
+    }
+    // variant → its folded trigram (injective: folding is deterministic)
+    val toFolded: Map[Int, Int] =
+      needed.flatMap(t => variants(t).map(_ -> t)).toMap
+    val allKeys = toFolded.keys.toSeq.sorted
+    val dps = idx.meta.docsPerShard
+    val first = grams.head._1
+    val last = grams.last._1
+    val delta = bytes.length - 3
+    val nNeeded = needed.length
+    val candidates = idx.trigrams.get
+      .filter(col("tri").isin(allKeys.map(Integer.valueOf): _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byFolded = it.toArray.groupBy(b => toFolded(b.tri))
+        if (byFolded.size < nNeeded) Iterator.empty
+        else {
+          // per folded gram: union of all case variants' doc lists
+          val lists = needed.map { lt =>
+            byFolded(lt).iterator.flatMap(b => Postings.decodeTriDocs(b, dps))
+              .toArray.sorted.distinct
+          }
+          val docsAll = lists.sortBy(_.length).reduce(intersectSorted)
+          if (docsAll.isEmpty || first == Text.AllSpaces || last == Text.AllSpaces)
+            docsAll.iterator
+          else {
+            val candSet = docsAll.toSet
+            def posOf(lt: Int): Map[Long, Array[Int]] =
+              byFolded(lt).iterator.flatMap(b => Postings.decodeTriPositions(b, dps))
+                .filter { case (d, _) => candSet(d) }
+                .toArray.groupBy(_._1).map { case (d, a) => (d, a.map(_._2).sorted) }
+            val firstPos = posOf(first)
+            val lastPos = posOf(last)
+            docsAll.iterator.filter { d =>
+              (firstPos.get(d), lastPos.get(d)) match {
+                case (Some(fp), Some(lp)) =>
+                  fp.exists(p => java.util.Arrays.binarySearch(lp, p + delta) >= 0)
+                case _ => false
+              }
+            }
+          }
+        }
+      }
+      .toDF("docId")
+    verified(candidates.union(nonIndexableDocs(idx)).distinct())
   }
 
   /** Regexp search: compile the pattern to a conservative trigram query
@@ -485,10 +630,12 @@ object Search {
     * (J1/J2 on docid sections), then verify candidates with the real
     * regexp engine (`rlike`, Catalyst-native — the X2/X3 grep stage).
     * Queries whose trigram query is ALL fall back to a full verification
-    * scan (dcs rejects those instead, `cmd/dcs-web/dcs-web.go:98-120`).
+    * scan, but ONLY below `maxScanDocs` corpus size — above it they are
+    * rejected like dcs does (`cmd/dcs-web/dcs-web.go:98-120`): an
+    * unindexable regexp over a web-scale corpus is a self-inflicted DoS.
     */
   def regexpSearch(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
-      pattern: String): DataFrame = {
+      pattern: String, maxScanDocs: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     import graft.queries.{TriQuery, TrigramCompiler}
     val q = TrigramCompiler.compile(pattern)
@@ -506,8 +653,13 @@ object Search {
     }
     val wanted = q.allTrigrams.toSeq.sorted
     val keys = wanted.flatMap(triKey)
-    if (q.op == TriQuery.QAll || keys.length < wanted.length || idx.trigrams.isEmpty)
+    if (q.op == TriQuery.QAll || keys.length < wanted.length || idx.trigrams.isEmpty) {
+      require(idx.meta.nDocs <= maxScanDocs,
+        s"regexp '$pattern' has no indexable trigrams and the corpus " +
+          s"(${idx.meta.nDocs} docs) exceeds maxScanDocs=$maxScanDocs — " +
+          "rejected (dcs-web.go:98-120 semantics); narrow the pattern")
       return verified(idx.docmap.select(col("docId"))) // full-scan fallback
+    }
 
     val keyOf: Map[String, Int] = wanted.zip(keys).toMap
     val dps = idx.meta.docsPerShard
@@ -537,7 +689,9 @@ object Search {
         eval(q).map(_.iterator).getOrElse(Iterator.empty)
       }
       .toDF("docId")
-    verified(candidates)
+    // docs that failed the ingest gate have no trigram postings — include
+    // them in verification so results match a full-corpus oracle
+    verified(candidates.union(nonIndexableDocs(idx)).distinct())
   }
 
   private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -574,6 +728,30 @@ object Search {
           least(col("pos"), lit(ctx))).as("before"),
         slice(col("lines"), col("pos") + 2,
           least(size(col("lines")) - col("pos") - 1, lit(ctx))).as("after"))
+  }
+
+  /** FiveLines snippet (X4, reference `internal/index/read.go:484-528`):
+    * for each doc containing `literal`, the 5-line window around the
+    * FIRST matching line — up to 2 lines of context either side, clamped
+    * at document edges. Emits (docId, line_no of the match, snippet with
+    * '\n'-joined lines). Pure Catalyst array expressions — stays in
+    * whole-stage codegen. */
+  def fiveLines(docs: DataFrame, literal: String): DataFrame = {
+    // 1-based index of the first line containing the literal
+    val firstMatch = array_min(filter(
+      transform(col("ls"), (l, i) => when(l.contains(literal), i + 1)),
+      x => x.isNotNull))
+    docs
+      .filter(col("text").contains(literal))
+      .select(col("docId"), split(col("text"), "\n").as("ls"))
+      .withColumn("m", firstMatch)
+      .select(
+        col("docId"),
+        col("m").as("line_no"),
+        concat_ws("\n",
+          slice(col("ls"), greatest(col("m") - 2, lit(1)),
+            least(col("m") + 2, size(col("ls"))) - greatest(col("m") - 2, lit(1)) + 1))
+          .as("snippet"))
   }
 
   /** Independent brute-force BM25 scorer (the rank-identity oracle,

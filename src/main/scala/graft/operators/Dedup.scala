@@ -44,13 +44,17 @@ object Dedup {
     * banded for LSH: docs sharing any band bucket are near-dup candidates.
     * Band join is an equi-join on (band, sig) — broadcast-free, shuffles
     * only the small signature table. */
-  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes)
-    val sh = docs
+  /** Exploded (id, shingle) table — shared by the minhash and the
+    * verification stages so a composed pipeline shingles exactly once. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs
       .withColumn("__toks", tokensOf(col(textCol)))
       .select(col(idCol).as("id"), explode(shinglesOf(col("__toks"), shingleN)).as("sh"))
+
+  private def bandsOfShingles(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes)
     val hashes = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"seed$i:"), col("sh")))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(hashes.head, hashes.tail: _*)
@@ -62,15 +66,45 @@ object Dedup {
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** LSH candidate pairs from banded minhash signatures (id1 < id2). */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b = minhashBands(docs, idCol, textCol, shingleN, numHashes, bands)
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandsOfShingles(shingleTable(docs, idCol, textCol, shingleN), numHashes, bands)
+
+  private def pairsOfBands(b: DataFrame): DataFrame = {
     val l = b.select(col("band"), col("sig"), col("id").as("id1"))
     val r = b.select(col("band"), col("sig"), col("id").as("id2"))
     l.join(r, Seq("band", "sig"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** LSH candidate pairs from banded minhash signatures (id1 < id2). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    pairsOfBands(minhashBands(docs, idCol, textCol, shingleN, numHashes, bands))
+
+  /** The composed 100 TB near-dup pipeline: MinHash+LSH candidate pairs →
+    * exact n-gram-Jaccard verification restricted to those pairs. The only
+    * self-join is the banded signature equi-join; the shingle table is
+    * computed once and reused by both stages. Candidates whose true
+    * Jaccard < threshold are dropped (precision 1 given candidates;
+    * recall bounded by the band collision probability). */
+  def lshJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN).cache()
+    val pairs = pairsOfBands(bandsOfShingles(sh, numHashes, bands))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id1"), col("sh")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("j_raw", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("id1"), col("id2"), round(col("j_raw"), 5).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
@@ -96,12 +130,13 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: (id1 < id2, cosine ≥ threshold).
-    * `exact = true` does the all-pairs comparison (the verification-grade
-    * baseline, O(n²) — fine for oracles and small partitions);
-    * `exact = false` restricts candidates to matching random-hyperplane
-    * LSH buckets — the 100 TB path (equi-join shuffle instead of a cross
-    * join; recall < 1 by construction). */
-  def embeddingNearDup(emb: DataFrame, threshold: Double, exact: Boolean = true,
+    * The DEFAULT is the LSH-bucketed path (`exact = false`): candidates are
+    * restricted to matching random-hyperplane buckets — an equi-join
+    * shuffle instead of a cross join, the only shape that survives 10⁹
+    * vectors (recall < 1 by construction; add plane rotations for more).
+    * `exact = true` is the O(n²) all-pairs verification-grade baseline —
+    * for oracles and small partitions only. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, exact: Boolean = false,
       dim: Int = 64, planes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -142,5 +177,17 @@ object Dedup {
     val hi = (32 until 64).map(i =>
       when(col(s"b$i") > 0, lit(1L << (i - 32))).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("id"), lo.as("simhash_lo"), hi.as("simhash_hi"))
+  }
+
+  /** Newest-version dedup (the dcs X10 analogue — keep only the latest
+    * crawl of each url / latest event of each key): max ts per key, ties
+    * broken by the highest tiebreak column. One shuffle (window by key). */
+  def newestVersion(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 }

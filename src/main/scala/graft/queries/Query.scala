@@ -16,7 +16,9 @@ final case class ParsedQuery(
     phrases: Seq[Seq[String]],
     negTerms: Seq[String],
     lang: Option[String],
-    site: Option[String]) {
+    site: Option[String],
+    negLang: Option[String] = None, // -lang: (dcs -package:, sourcebackend.go:28-129)
+    negSite: Option[String] = None) { // -site: (dcs npath)
   /** all positive scoring terms, lexicographically sorted (deterministic
     * score-accumulation order) */
   def scoringTerms: Seq[String] =
@@ -31,18 +33,22 @@ object QueryParser {
     val rest = phraseRe.replaceAllIn(q, " ")
     var lang: Option[String] = None
     var site: Option[String] = None
+    var negLang: Option[String] = None
+    var negSite: Option[String] = None
     val neg = scala.collection.mutable.ArrayBuffer.empty[String]
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var orMode = false
     rest.split("\\s+").filter(_.nonEmpty).foreach {
       case t if t.toLowerCase.startsWith("lang:") => lang = Some(t.drop(5).toLowerCase)
       case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5).toLowerCase)
+      case t if t.toLowerCase.startsWith("-lang:") => negLang = Some(t.drop(6).toLowerCase)
+      case t if t.toLowerCase.startsWith("-site:") => negSite = Some(t.drop(6).toLowerCase)
       case "OR" => orMode = true
       case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(t.drop(1))
       case t => pos ++= Text.tokenize(t)
     }
-    if (orMode) ParsedQuery(Nil, pos.toSeq.distinct, phrases, neg.toSeq, lang, site)
-    else ParsedQuery(pos.toSeq.distinct, Nil, phrases, neg.toSeq, lang, site)
+    if (orMode) ParsedQuery(Nil, pos.toSeq.distinct, phrases, neg.toSeq, lang, site, negLang, negSite)
+    else ParsedQuery(pos.toSeq.distinct, Nil, phrases, neg.toSeq, lang, site, negLang, negSite)
   }
 }
 
@@ -67,21 +73,25 @@ object QueryRunner {
     val avgdl = idx.meta.avgdl
     val dps = idx.meta.docsPerShard
     val dfMap = stats
-    // decode inside whole-stage codegen via the native expressions
-    // (graft.plans.DecodeDocIds / DecodeTfs) — no Dataset lambda
-    graft.plans.GraftFunctions.register(spark)
-    val tfRows = idx.postings.toDF()
-      .filter(col("term").isin(sorted: _*))
-      .select(col("term"),
-        call_function("graft_decode_docids", col("docs"), col("df"),
-          col("shard").cast("long") * lit(dps)).as("docsArr"),
-        call_function("graft_decode_tfs", col("tfs"), col("df")).as("tfsArr"))
-      .select(col("term"), col("tfsArr"), posexplode(col("docsArr")))
-      .select(col("term"), col("col").as("docId"),
-        element_at(col("tfsArr"), col("pos") + 1).as("tf"))
     val restricted = restrict match {
-      case Some(r) => tfRows.join(r.select("docId"), Seq("docId"), "left_semi")
-      case None => tfRows
+      case Some(r) =>
+        // in-decode restrict (F6 proper, dcs query.go:139-168): posting
+        // blocks whose [firstDoc,lastDoc] misses the shard's restrict
+        // list are never decoded at all
+        Search.restrictedTfRows(spark, idx, sorted, r)
+      case None =>
+        // unrestricted: decode inside whole-stage codegen via the native
+        // expressions (graft.plans.DecodeDocIds / DecodeTfs) — no lambda
+        graft.plans.GraftFunctions.register(spark)
+        idx.postings.toDF()
+          .filter(col("term").isin(sorted: _*))
+          .select(col("term"),
+            call_function("graft_decode_docids", col("docs"), col("df"),
+              col("shard").cast("long") * lit(dps)).as("docsArr"),
+            call_function("graft_decode_tfs", col("tfs"), col("df")).as("tfsArr"))
+          .select(col("term"), col("tfsArr"), posexplode(col("docsArr")))
+          .select(col("term"), col("col").as("docId"),
+            element_at(col("tfsArr"), col("pos") + 1).as("tf"))
     }
     val withDf = restricted.withColumn("df",
       coalesce(element_at(
@@ -122,7 +132,8 @@ object QueryRunner {
     val p = QueryParser.parse(q)
     val needsRestrict =
       p.phrases.nonEmpty || p.negTerms.nonEmpty || p.lang.nonEmpty ||
-        p.site.nonEmpty || p.orTerms.nonEmpty
+        p.site.nonEmpty || p.negLang.nonEmpty || p.negSite.nonEmpty ||
+        p.orTerms.nonEmpty
     if (!needsRestrict && p.andTerms.nonEmpty) {
       // pure ranked retrieval fast path: conjunctive scored top-k — the
       // same docs the filtered path below would admit via searchAnd
@@ -131,7 +142,21 @@ object QueryRunner {
         .select("docId", "url", "score")
         .orderBy(col("score").desc, col("docId").asc)
     }
-    // candidate generation
+    val candidates = candidatesOf(spark, idx, p)
+    val scored = scoreDocs(spark, idx, p.scoringTerms, Some(candidates))
+    scored.join(idx.docmap.select("docId", "url"), "docId")
+      .select("docId", "url", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Candidate docIds of a query BEFORE scoring — the posting-evaluation
+    * stage on its own (the `posting_nano` half of dcs's replay cost split,
+    * `cmd/dcs/replay.go:37-45`). */
+  def candidates(spark: SparkSession, idx: BuiltIndex, q: String): DataFrame =
+    candidatesOf(spark, idx, QueryParser.parse(q))
+
+  private def candidatesOf(spark: SparkSession, idx: BuiltIndex, p: ParsedQuery): DataFrame = {
     var cand: DataFrame =
       if (p.orTerms.nonEmpty) Search.searchOr(spark, idx, p.orTerms)
       else if (p.andTerms.nonEmpty) Search.searchAnd(spark, idx, p.andTerms)
@@ -140,19 +165,18 @@ object QueryRunner {
       val m = Search.phrase(spark, idx, ph)
       cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
     }
-    if (cand == null) cand = idx.docmap.select("docId")
+    if (cand == null) cand = idx.docmap.select("docId").toDF()
     if (p.negTerms.nonEmpty)
       cand = cand.join(Search.searchOr(spark, idx, p.negTerms), Seq("docId"), "left_anti")
-    val meta = idx.docmap.select(col("docId"), col("url"), col("lang"),
+    if (p.lang.isEmpty && p.site.isEmpty && p.negLang.isEmpty && p.negSite.isEmpty)
+      return cand.select("docId")
+    val meta = idx.docmap.select(col("docId"), col("lang"),
       regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"))
     var filtered = cand.join(meta, "docId")
     p.lang.foreach(l => filtered = filtered.filter(col("lang") === l))
     p.site.foreach(s => filtered = filtered.filter(col("host") === s))
-    val candidates = filtered.select("docId")
-    val scored = scoreDocs(spark, idx, p.scoringTerms, Some(candidates))
-    scored.join(meta.select("docId", "url"), "docId")
-      .select("docId", "url", "score")
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
+    p.negLang.foreach(l => filtered = filtered.filter(col("lang") =!= l))
+    p.negSite.foreach(s => filtered = filtered.filter(col("host") =!= s))
+    filtered.select("docId")
   }
 }

@@ -81,7 +81,8 @@ object IndexFeeder {
         lit("").as("text"),
         org.apache.spark.sql.functions.col("lang"),
         org.apache.spark.sql.functions.col("shard"),
-        org.apache.spark.sql.functions.col("dl"))
+        org.apache.spark.sql.functions.col("dl"),
+        org.apache.spark.sql.functions.col("indexable"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     idx.docnorms.write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
     idx.postings.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")

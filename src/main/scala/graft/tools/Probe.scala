@@ -24,6 +24,46 @@ object Probe {
     val pages = graft.corpus.PageGen.pages(spark, n, parallelism = cores * 4)
     val t0 = System.nanoTime()
     phase match {
+      case "regcpu" =>
+        // pure-register arithmetic, zero allocation: what the host CAN
+        // scale. The gap between this and jvmcpu isolates the VM's
+        // memory/allocation ceiling.
+        val sum = new java.util.concurrent.atomic.AtomicLong(0)
+        val iters = n * 2000
+        val threads = (0 until cores).map { t =>
+          new Thread(() => {
+            var x = 0x9e3779b97f4a7c15L + t
+            var i = 0L
+            val per = iters / cores
+            while (i < per) {
+              x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+              x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+              i += 1
+            }
+            sum.addAndGet(x)
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        println("sum=" + sum.get())
+      case "memcopy" =>
+        // streaming memory bandwidth: copy large byte arrays
+        val sum = new java.util.concurrent.atomic.AtomicLong(0)
+        val threads = (0 until cores).map { t =>
+          new Thread(() => {
+            val src = new Array[Byte](1 << 20)
+            val dst = new Array[Byte](1 << 20)
+            java.util.Arrays.fill(src, t.toByte)
+            var i = 0L
+            val per = n / 100 / cores
+            while (i < per) {
+              System.arraycopy(src, 0, dst, 0, src.length)
+              i += 1
+            }
+            sum.addAndGet(dst(0))
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        println("sum=" + sum.get())
       case "jvmcpu" =>
         // plain threads, no Spark: generation + tokenize
         val counter = new java.util.concurrent.atomic.AtomicLong(0)

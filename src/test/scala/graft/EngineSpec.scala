@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lower}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.corpus.PageGen
@@ -219,6 +220,108 @@ class EngineSpec extends AnyFunSuite {
     assert(Search.substring(spark, idx, docsWithIds, "nEEdleAlpha").count() == 0)
   }
 
+  test("case-insensitive substring search folds trigram variants (nocase path)") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    // mixed-case query literal finds the camelCase needle
+    val got = Search.substringNoCase(spark, idx, docsWithIds, "NEEDLEalpha")
+      .as[Long].collect().toSeq
+    assert(got == Seq(urlToDocId(PageGen.url(137))))
+    // and the case-exact path still misses it (pinned limitation)
+    assert(Search.substring(spark, idx, docsWithIds, "NEEDLEalpha").count() == 0)
+    // sanity: same results as exact search for an all-lowercase literal
+    val a = Search.substringNoCase(spark, idx, docsWithIds, "data processing")
+      .as[Long].collect().sorted.toSeq
+    val b = docsWithIds.filter(lower(col("text")).contains("data processing"))
+      .select("docId").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("recall hole closed: gate-failing docs still reachable by substring/regexp") {
+    // one doc with a >2000-byte single line fails the trigram ingest gate
+    // but must still be found via the non-indexable verification union
+    val longLine = ("filler " * 400) + "needleomega" + (" filler" * 10)
+    assert(longLine.length > 2000)
+    val special = Seq(("https://host0.example/zzlong", longLine, "en"))
+    val df = docs.select("url", "text", "lang")
+      .union(spark.createDataFrame(special).toDF("url", "text", "lang"))
+    val idx2 = IndexBuilder.build(spark, df,
+      IndexBuilder.Config(docsPerShard = 128, blockSize = 16, partitions = 4))
+    val dm = idx2.docmap.collect()
+    val longId = dm.find(_.url.endsWith("zzlong")).get
+    assert(!longId.indexable, "gate should reject the long-line doc")
+    // PageGen itself produces a few >2000-byte single-paragraph lines, so
+    // the corpus has other legitimately gate-failing docs too
+    assert(dm.count(!_.indexable) >= 1)
+    val docsWithIds2 = df.join(idx2.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    assert(Search.substring(spark, idx2, docsWithIds2, "needleomega")
+      .as[Long].collect().toSeq == Seq(longId.docId))
+    assert(Search.substringNoCase(spark, idx2, docsWithIds2, "NeedleOmega")
+      .as[Long].collect().toSeq == Seq(longId.docId))
+    assert(Search.regexpSearch(spark, idx2, docsWithIds2, "needle(omega|zeta)")
+      .as[Long].collect().toSeq == Seq(longId.docId))
+  }
+
+  test("regexp full-scan fallback is guarded above maxScanDocs (dcs reject)") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    // '.' compiles to QAll — allowed on a small corpus, rejected above cap
+    assert(Search.regexpSearch(spark, idx, docsWithIds, "needle.lpha").count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      Search.regexpSearch(spark, idx, docsWithIds, "a.c.e", maxScanDocs = 10)
+    }
+    assert(e.getMessage.contains("rejected"))
+  }
+
+  test("fiveLines returns the 5-line window around the first match") {
+    val text = (1 to 9).map(i => s"line$i content").mkString("\n")
+    val cases = Seq(
+      ("line5", 5, (3 to 7)), // interior: 2 lines either side
+      ("line1", 1, (1 to 3)), // clamped at the top
+      ("line9", 9, (7 to 9)), // clamped at the bottom
+      ("line2", 2, (1 to 4)))
+    val df = spark.createDataFrame(Seq((1L, text))).toDF("docId", "text")
+    for ((lit, wantLine, range) <- cases) {
+      val r = Search.fiveLines(df, lit).collect()
+      assert(r.length == 1)
+      assert(r.head.getInt(1) == wantLine, s"lit=$lit")
+      val want = range.map(i => s"line$i content").mkString("\n")
+      assert(r.head.getString(2) == want, s"lit=$lit")
+    }
+    // first match wins when several lines match
+    val r = Search.fiveLines(df, "content").collect()
+    assert(r.head.getInt(1) == 1 && r.head.getString(2) ==
+      (1 to 3).map(i => s"line$i content").mkString("\n"))
+  }
+
+  test("in-decode restrict skips blocks outside the restrict ranges") {
+    import org.apache.spark.sql.functions.typedLit
+    val restrictIds = Seq(3L, 5L, 130L) // two shards of the 600-doc corpus
+    val restrict = spark.createDataFrame(restrictIds.map(Tuple1(_))).toDF("docId")
+    val decoded = spark.sparkContext.longAccumulator("decoded")
+    val skipped = spark.sparkContext.longAccumulator("skipped")
+    val terms = Seq("the", "of")
+    val rows = Search.restrictedTfRows(spark, idx, terms, restrict,
+      Some((decoded, skipped))).collect()
+    // correctness: identical to decode-everything + filter
+    val dps = idx.meta.docsPerShard
+    val want = idx.postings.filter(col("term").isin(terms: _*)).collect()
+      .flatMap { b =>
+        val (ds, tfs) = graft.index.Postings.decodeDocsTfs(b, dps)
+        ds.zip(tfs).collect { case (d, tf) if restrictIds.contains(d) => (b.term, d, tf) }
+      }.sortBy(r => (r._1, r._2)).toSeq
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want && got.nonEmpty)
+    // the pruning must actually prune: restrict lives in 2 of 5 shards,
+    // so most blocks of hot terms never decode
+    val totalBlocks = idx.postings.filter(col("term").isin(terms: _*)).count()
+    assert(decoded.value < totalBlocks,
+      s"decoded=${decoded.value} of $totalBlocks blocks")
+    assert(decoded.value + skipped.value < totalBlocks) // shard-level skip too
+  }
+
   test("regexp search via trigram index matches java.util.regex ground truth") {
     val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
       .select("docId", "text")
@@ -280,6 +383,45 @@ class EngineSpec extends AnyFunSuite {
     val p1 = merged.postings.collect().sortBy(key).map(repr).toSeq
     val p2 = direct.postings.collect().sortBy(key).map(repr).toSeq
     assert(p1 == p2)
+  }
+
+  test("shard-aligned merge takes the block-level concat fast path, byte-identical") {
+    val all = docs.orderBy("url").collect()
+    // split at 256 = 2 whole shards of 128: fast path eligible
+    val ranges = Seq(all.slice(0, 256), all.slice(256, all.length))
+    val cfg = IndexBuilder.Config(docsPerShard = 128, blockSize = 16,
+      partitions = 4, buildTrigrams = true)
+    val parts = ranges.map { rows =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), docs.schema)
+      IndexBuilder.build(spark, df, cfg)
+    }
+    assert(IndexMerger.canConcat(parts, cfg))
+    // misaligned parts must decline the fast path
+    assert(!IndexMerger.canConcat(
+      Seq(parts.head.copy(meta = parts.head.meta.copy(nDocs = 200)), parts(1)), cfg))
+    val merged = IndexMerger.merge(spark, parts, cfg)
+    val direct = IndexBuilder.build(spark, docs, cfg)
+    def key(b: graft.index.PostingBlock) = (b.term, b.shard, b.blockId)
+    def repr(b: graft.index.PostingBlock) =
+      (b.term, b.shard, b.blockId, b.df, b.cf, b.maxTf, b.firstDoc, b.lastDoc,
+        b.docs.toSeq, b.tfs.toSeq, b.nPos, b.pos.toSeq, b.posrel.toSeq)
+    assert(merged.postings.collect().sortBy(key).map(repr).toSeq ==
+      direct.postings.collect().sortBy(key).map(repr).toSeq)
+    // trigram sections concat identically
+    def tkey(b: graft.index.TriBlock) = (b.tri, b.shard, b.blockId)
+    def trepr(b: graft.index.TriBlock) =
+      (b.tri, b.shard, b.blockId, b.df, b.firstDoc, b.lastDoc,
+        b.docs.toSeq, b.nPos, b.pos.toSeq, b.posrel.toSeq)
+    assert(merged.trigrams.get.collect().sortBy(tkey).map(trepr).toSeq ==
+      direct.trigrams.get.collect().sortBy(tkey).map(trepr).toSeq)
+    // termstats equal too (from block metadata alone)
+    assert(merged.termstats.collect().sortBy(_.term).toSeq ==
+      direct.termstats.collect().sortBy(_.term).toSeq)
+    // docnorms cover the full doc range with the right bases
+    val dn = merged.docnorms.collect().sortBy(_.shard)
+    assert(dn.map(_.n).sum == all.length)
+    dn.foreach(n => assert(n.base == n.shard.toLong * 128))
   }
 
   test("compression: encoded postings much smaller than raw 4-byte ids") {

@@ -17,7 +17,9 @@ class StreamingSpec extends AnyFunSuite {
   test("file-stream batches -> per-batch indexes -> merged publish == direct build") {
     val root = java.nio.file.Files.createTempDirectory("graft-feed").toString
     val inDir = java.nio.file.Files.createTempDirectory("graft-feed-in").toString
-    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16,
+    // docsPerShard divides the first batch size (120), so mergeAndPublish
+    // exercises the block-level ConcatN fast path end-to-end
+    val cfg = IndexBuilder.Config(docsPerShard = 60, blockSize = 16,
       partitions = 2, buildTrigrams = false)
 
     // two "arrivals" of url-contiguous document ranges (dcs packages)
@@ -56,6 +58,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(!IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams)
       .exists(_.endsWith("b999")))
     org.apache.commons.io.FileUtils.deleteDirectory(partial)
+    // the feeder's batches are shard-aligned -> concat fast path applies
+    val loadedParts = IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams)
+      .map(d => IndexBuilder.load(spark, d))
+    assert(graft.index.IndexMerger.canConcat(loadedParts, cfg))
     val merged = IndexFeeder.mergeAndPublish(spark, root, cfg)
     assert(merged.isDefined)
     assert(IndexPublisher.currentVersion(root).isDefined)
