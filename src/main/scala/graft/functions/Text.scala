@@ -240,6 +240,21 @@ object Text {
   }
 }
 
+/** Vector primitives callable from generated code (see
+  * graft.plans.ArrayDot): tight multiply-accumulate over ArrayData with
+  * no intermediate array. Fold order = ascending index, matching
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` bit-for-bit. */
+object VectorOps {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
 /** BM25 parameters and scoring math (replaces dcs's heuristic ranking,
   * reference `ranking/pre-ranking.go:99-102`, per the rebuild's north rule).
   * Lucene-style positive IDF so scores are always ≥ 0.

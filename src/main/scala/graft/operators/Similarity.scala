@@ -14,18 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** zip_with + aggregate dot product of two array<float/double> columns. */
+  /** Dot product via the native ArrayDot expression (one codegen'd
+    * multiply-accumulate loop, no intermediate array — same fold order as
+    * `aggregate(zip_with(...))`, so results are bit-identical). Callers
+    * must have run `GraftFunctions.register` on the session. */
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   private def norm(a: org.apache.spark.sql.Column) =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    sqrt(call_function("graft_dot", a, a))
 
   /** Exact brute-force cosine top-k neighbors for each query vector.
     * Query side is small → broadcast; one pass over the corpus, top-k via
     * per-query window rank (TakeOrdered per group). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     // cast to double BEFORE multiplying: float*float would round to
     // float32 while the SQL oracle multiplies doubles. Norms are hoisted
     // to one column per vector so the pair loop runs a single aggregate.
@@ -78,6 +82,7 @@ object Similarity {
     * `planes` down or add band rotations for higher recall. */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val hp = hyperplanes(dim, planes)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("bucket", lshBucket(col("cvec"), hp))

@@ -44,6 +44,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) == Seq(13L, 18L)) // deltas 3,5 + base 10
   }
 
+  test("graft_dot equals aggregate(zip_with(...)) bit-for-bit and stays in codegen") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(200)(i =>
+      (i, Array.fill(64)(rnd.nextDouble() - 0.5), Array.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      call_function("graft_dot", col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"id=${r.getInt(0)}") // exact, not approx
+    }
+    // a LocalTableScan collapses the projection and AQE hides the final
+    // plan until execution — run the query, then read the executed plan
+    val q = df.repartition(2).select(call_function("graft_dot", col("a"), col("b")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n) Project" is the whole-stage-codegen marker in plan toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"), plan)
+  }
+
   test("scoreDocs plan decodes inside codegen (no object serialization)") {
     val idx = EngineFixtures.idx(spark)
     val df = graft.queries.QueryRunner.scoreDocs(spark, idx, Seq("the", "qmarker5"), None)
