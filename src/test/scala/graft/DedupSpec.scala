@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+
+/** Properties of the composed LSH→Jaccard pipeline against the exact
+  * all-pairs baseline on a corpus with controlled overlap. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // 30 docs: 10 template families of 3 variants each — variants share most
+  // of their shingles (high jaccard); cross-family overlap is low
+  lazy val docs = {
+    val base = (0 until 10).map { f =>
+      (0 until 12).map(w => s"fam$f word${f}_$w common$w").mkString(" ")
+    }
+    val rows = for {
+      f <- 0 until 10
+      v <- 0 until 3
+    } yield {
+      val text =
+        if (v == 0) base(f)
+        else base(f) + s" extra$f$v tail$v"
+      (f * 3L + v, text)
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  test("lshJaccard = exact ngramJaccard restricted to LSH candidates (precision 1)") {
+    val thr = 0.3
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = thr)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.lshJaccard(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = thr)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty, "no LSH candidate pairs — test vacuous")
+    // precision 1: every verified pair exists in the exact result with the
+    // identical jaccard value
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"pair $pair not in exact result")
+      assert(exact(pair) == j, s"pair $pair jaccard $j != exact ${exact(pair)}")
+    }
+    // recall sanity: the banded signatures catch most same-family pairs
+    assert(lsh.size * 2 >= exact.size,
+      s"recall too low: lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("embeddingNearDup LSH default is a subset of the exact pairs, same cosines") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 40).map { i =>
+      val b = base(i % 8)
+      val v = b.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(emb, 0.8, exact = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.embeddingNearDup(emb, 0.8) // default = LSH path
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    lsh.foreach { case (pair, c) =>
+      assert(exact.contains(pair) && exact(pair) == c, s"pair $pair")
+    }
+  }
+
+  test("newestVersion keeps exactly one latest row per key") {
+    val rows = Seq(
+      (1L, 100L, 10L), (1L, 200L, 11L), (1L, 200L, 12L), // tie on ts -> max tie col
+      (2L, 50L, 20L))
+    val df = spark.createDataFrame(rows).toDF("k", "ts", "id")
+    val got = Dedup.newestVersion(df, "k", "ts", "id")
+      .select("k", "ts", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 200L, 12L), (2L, 50L, 20L)))
+  }
+}
+
+/** Query-language parser unit coverage (F3/F4 + r02 negated filters). */
+class QueryParserSpec extends AnyFunSuite {
+  import graft.queries.QueryParser
+
+  test("bare terms are AND terms; OR flips mode") {
+    val p = QueryParser.parse("data Table join")
+    assert(p.andTerms == Seq("data", "table", "join") && p.orTerms.isEmpty)
+    val q = QueryParser.parse("dup OR vector")
+    assert(q.andTerms.isEmpty && q.orTerms == Seq("dup", "vector"))
+  }
+
+  test("phrases, negation, metadata filters") {
+    val p = QueryParser.parse("\"data processing\" fast -slow lang:de site:host1.example")
+    assert(p.phrases == Seq(Seq("data", "processing")))
+    assert(p.andTerms == Seq("fast"))
+    assert(p.negTerms == Seq("slow"))
+    assert(p.lang.contains("de") && p.site.contains("host1.example"))
+  }
+
+  test("negated metadata filters are filters, not term negation") {
+    val p = QueryParser.parse("dup -lang:de -site:host2.example -noise")
+    assert(p.negLang.contains("de"))
+    assert(p.negSite.contains("host2.example"))
+    assert(p.negTerms == Seq("noise"))
+    assert(p.andTerms == Seq("dup"))
+  }
+
+  test("case-insensitive filter prefixes, tokenized terms") {
+    val p = QueryParser.parse("LANG:DE Data-Table")
+    assert(p.lang.contains("de"))
+    assert(p.andTerms == Seq("data", "table"))
+  }
+}
