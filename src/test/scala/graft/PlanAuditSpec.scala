@@ -35,6 +35,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("In(tri"), s"no trigram pushdown:\n$plan")
   }
 
+  test("case-folded substring pushes the variant trigram set to the scan") {
+    val docs = idx.docmap.toDF().selectExpr("docId", "url as text") // shape only
+    val df = Search.substringNoCase(spark, idx, docs, "QmArKeR")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(tri"), s"no trigram pushdown on the fold path:\n$plan")
+  }
+
+  test("in-decode restrict path still pushes term IN (...) to the scan") {
+    val restrict = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L))).toDF("docId")
+    val df = Search.restrictedTfRows(spark, idx, Seq("the", "qmarker3"), restrict)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"), s"no term pushdown on the restrict path:\n$plan")
+  }
+
   test("docmap reads prune the text column") {
     val df = graft.queries.QueryRunner.run(spark, idx, "qmarker3 lang:de", 10)
     val plan = df.queryExecution.executedPlan.toString
