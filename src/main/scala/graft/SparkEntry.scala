@@ -83,6 +83,10 @@ object SparkEntry {
   val SubstringNoCaseLit = "Fast Table" // mixed case: exercises the fold
   val TriLiterals = Seq("dat", "tab", "fas")
   val RegexPattern = "qu[ae]ry|sc[ao]n"
+  val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (0L, Seq("data", "table")),
+    (1L, Seq("dup", "vector")),
+    (2L, Seq("fast", "merge", "spark")))
 
   def entry(spark: SparkSession): DataFrame =
     QueryRunner.run(spark, index(spark, "/root/testdata/sf0.001"), "data table join", 10)
@@ -140,6 +144,15 @@ object SparkEntry {
     "q_bm25_and" -> ((s, dir) =>
       Search.topKAnd(s, index(s, dir), Bm25Terms, 20)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // BATCH retrieval: many queries, one job (per-shard term decode
+    // shared across queries) — the 100 TB query-throughput shape
+    "q_batch_topk" -> ((s, dir) => {
+      val qdf = s.createDataFrame(BatchQueries).toDF("qid", "terms")
+      Search.topKBatch(s, index(s, dir), qdf, 10)
+        .select(col("qid"), col("docId").as("docid"),
+          round(col("score"), 5).as("score"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
     // J3: positional phrase join
     "q_phrase" -> ((s, dir) =>
       Search.phrase(s, index(s, dir), PhraseTerms)
@@ -448,6 +461,31 @@ object SparkEntry {
     "q_bm25_and" -> bm25Sql(Bm25Terms, 20,
       s"""WHERE docid IN (SELECT docid FROM tok WHERE term IN (${inList(Bm25Terms)})
          |GROUP BY docid HAVING count(DISTINCT term) = ${Bm25Terms.length})""".stripMargin),
+    "q_batch_topk" -> {
+      val allQTerms = BatchQueries.flatMap(_._2).distinct
+      val values = BatchQueries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""$P, qt AS (SELECT * FROM (VALUES $values) AS v(qid, term)),
+         |tf AS (
+         |  SELECT docid, term, count(*) AS c FROM tok
+         |  WHERE term IN (${inList(allQTerms)}) GROUP BY 1, 2
+         |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT docid, len(l) AS dl FROM toks),
+         |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ids) AS n,
+         |                 (SELECT avg(len(l)) FROM toks) AS avgdl),
+         |scored AS (
+         |  SELECT q.qid, t.docid, sum($bm25Score) AS sc
+         |  FROM qt q JOIN tf t USING (term) JOIN dfs USING (term) JOIN dls ON dls.docid = t.docid, stats
+         |  GROUP BY q.qid, t.docid
+         |), ranked AS (
+         |  SELECT qid, docid, sc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, docid ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT CAST(qid AS BIGINT) AS qid, docid,
+         |  round(CAST(sc AS DOUBLE), 5) AS score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    },
     "q_phrase" ->
       s"""$P SELECT DISTINCT a.docid FROM tok a
          |JOIN tok b ON a.docid = b.docid AND b.pos = a.pos + 1

@@ -146,6 +146,102 @@ object Search {
       .limit(k)
   }
 
+  /** BATCH retrieval: BM25 top-k for MANY queries in ONE Spark job — the
+    * throughput shape of a Spark engine at 100 TB (mine top docs for 10⁴
+    * prompts in a single pass) instead of a job per query (whose driver
+    * dispatch caps throughput regardless of cores; measured in
+    * BENCH/BASELINE.md §3b). `queries` = (qid, terms array). Per shard,
+    * each needed term's blocks decode ONCE and are shared across all
+    * queries referencing the term; per-query scores accumulate
+    * disjunctively (topK semantics) in lexicographic term order, then a
+    * per-(qid,shard) top-k heap bounds the shuffle and a per-qid window
+    * takes the global top-k. */
+  def topKBatch(spark: SparkSession, idx: BuiltIndex, queries: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[String])] = queries
+      .select(col("qid").cast("long"), col("terms"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (q, ts) => (q, ts.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.sorted.toArray) }
+      .sortBy(_._1)
+    val allTerms = qs.flatMap(_._2).distinct.sorted
+    if (allTerms.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "docId", "score")
+    val stats = idx.termstats.filter(col("term").isin(allTerms.toSeq: _*))
+      .collect().map(t => t.term -> t).toMap
+    val dfs: Map[String, Long] = stats.map { case (t, s) => t -> s.df }
+    val live = allTerms.filter(stats.contains)
+    val meta = idx.meta
+    val dps = meta.docsPerShard
+    val nDocs = meta.nDocs
+    val avgdl = meta.avgdl
+    val bQs = spark.sparkContext.broadcast(qs)
+
+    val blocks = idx.postings.filter(col("term").isin(live.toSeq: _*))
+    val perShard = blocks.groupByKey(_.shard).cogroup(idx.docnorms.groupByKey(_.shard)) {
+      (_, blockIt, normIt) =>
+        val norms = normIt.toSeq.headOption
+        if (norms.isEmpty) Iterator.empty[(Long, Long, Double)]
+        else batchShard(blockIt, norms.get, dps, dfs, nDocs, avgdl, k, bQs.value)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
+    perShard.toDF("qid", "docId", "score")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "docId", "score", "rank")
+  }
+
+  /** One shard of topKBatch: decode each needed term once, score every
+    * query against the decoded lists, local top-k per query. */
+  private def batchShard(
+      blockIt: Iterator[PostingBlock], norms: DocNorms, dps: Long,
+      dfs: Map[String, Long], nDocs: Long, avgdl: Double, k: Int,
+      qs: Array[(Long, Array[String])]): Iterator[(Long, Long, Double)] = {
+    val dls = Varint.decodeInts(norms.dls, norms.n)
+    val base = norms.base
+    val byTerm: Map[String, (Array[Long], Array[Int])] =
+      blockIt.toArray.groupBy(_.term).map { case (t, bs) =>
+        val ds = scala.collection.mutable.ArrayBuilder.make[Long]
+        val tf = scala.collection.mutable.ArrayBuilder.make[Int]
+        bs.sortBy(_.firstDoc).foreach { b =>
+          val (d, f) = Postings.decodeDocsTfs(b, dps)
+          ds ++= d; tf ++= f
+        }
+        t -> ((ds.result(), tf.result()))
+      }
+    implicit val ord: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
+    qs.iterator.flatMap { case (qid, terms) =>
+      val present = terms.filter(byTerm.contains) // lexicographic order kept
+      if (present.isEmpty) Iterator.empty[(Long, Long, Double)]
+      else {
+        val acc = scala.collection.mutable.LongMap.empty[Double]
+        present.foreach { t =>
+          val (ds, tfArr) = byTerm(t)
+          val df = dfs(t)
+          var i = 0
+          while (i < ds.length) {
+            val doc = ds(i)
+            val dl = dls((doc - base).toInt)
+            acc(doc) = acc.getOrElse(doc, 0.0) +
+              BM25.score(tfArr(i), df, dl, nDocs, avgdl)
+            i += 1
+          }
+        }
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
+        acc.foreach { case (doc, s) =>
+          if (heap.size < k) heap.enqueue((doc, s))
+          else {
+            val (wd, ws) = heap.head
+            if (s > ws || (s == ws && doc < wd)) { heap.dequeue(); heap.enqueue((doc, s)) }
+          }
+        }
+        val top: Seq[(Long, Double)] = heap.dequeueAll
+        top.reverse.iterator.map(e => (qid, e._1, e._2))
+      }
+    }
+  }
+
   /** Exact WAND over one shard. Returns local top-k (docId, score). */
   private def wandShard(
       blockIt: Iterator[PostingBlock],

@@ -64,13 +64,13 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits over the hyperplanes.
-    * The dot product is a left-fold in element order (deterministic,
-    * reproducible term-by-term in SQL). */
+    * Each plane's dot runs through the native graft_dot loop against a
+    * literal hyperplane array — same ascending-index fold order as the
+    * per-element expression sum (bit-identical buckets, SQL-reproducible).
+    * Callers must have run `GraftFunctions.register` on the session. */
   def lshBucket(vecCol: org.apache.spark.sql.Column, hp: Array[Array[Double]]) = {
     val bits = hp.zipWithIndex.map { case (w, p) =>
-      val d = w.zipWithIndex.map { case (wi, i) =>
-        element_at(vecCol, i + 1).cast("double") * lit(wi)
-      }.reduce(_ + _)
+      val d = call_function("graft_dot", vecCol.cast("array<double>"), typedLit(w.toSeq))
       when(d >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)

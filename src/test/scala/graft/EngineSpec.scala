@@ -186,6 +186,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("topKBatch is identical to per-query WAND topK for every query in the batch") {
+    val batch = Seq(
+      (0L, Seq("the", "qmarker5")),
+      (1L, Seq("qmarker3", "qmarker7")),
+      (2L, Seq("the", "of", "and")),
+      (3L, Seq("zzqnohit")))
+    val qdf = spark.createDataFrame(batch).toDF("qid", "terms")
+    val got = Search.topKBatch(spark, idx, qdf, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    for ((qid, terms) <- batch) {
+      val want = Search.topK(spark, idx, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val g = got.getOrElse(qid, Seq.empty)
+      assert(g.map(_._1) == want.map(_._1), s"qid=$qid docIds: $g vs $want")
+      g.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("topKAnd is conjunctive and matches brute-force restricted scoring") {
     val q = Seq("the", "qmarker5")
     val got = Search.topKAnd(spark, idx, q, 10).collect()
