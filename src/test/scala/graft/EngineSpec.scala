@@ -282,6 +282,32 @@ class EngineSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(longId.docId))
   }
 
+  test("byte-trigram search handles multibyte UTF-8 text (webtext realism)") {
+    val special = Seq(
+      ("https://host0.example/zmb1", "der schöne Straßenkehrer kehrt die straße täglich", "de"),
+      ("https://host0.example/zmb2", "la qualité des données est très importante", "fr"),
+      ("https://host0.example/zmb3", "plain ascii filler document here", "en"))
+    val df = docs.select("url", "text", "lang").limit(50)
+      .union(spark.createDataFrame(special).toDF("url", "text", "lang"))
+    val idx2 = IndexBuilder.build(spark, df,
+      IndexBuilder.Config(docsPerShard = 32, blockSize = 8, partitions = 2))
+    val withIds = df.join(idx2.docmap.select("docId", "url"), "url").select("docId", "text")
+    def urlOf(d: Long) = idx2.docmap.filter(_.docId == d).head().url
+    // multibyte literal via the byte-trigram index (UTF-8 bytes roll fine)
+    val hits = Search.substring(spark, idx2, withIds, "Straßenkehrer")
+      .as[Long].collect().toSeq
+    assert(hits.map(urlOf) == Seq("https://host0.example/zmb1"))
+    // case-folded path falls back to a verified scan for non-ASCII folds
+    val nc = Search.substringNoCase(spark, idx2, withIds, "QUALITÉ des")
+      .as[Long].collect().toSeq
+    assert(nc.map(urlOf) == Seq("https://host0.example/zmb2"))
+    // regexp with multibyte chars (trigram keys skip multibyte grams ->
+    // guarded fallback path) still verifies correctly
+    val re = Search.regexpSearch(spark, idx2, withIds, "stra(ß|ss)e")
+      .as[Long].collect().toSeq
+    assert(re.map(urlOf) == Seq("https://host0.example/zmb1"))
+  }
+
   test("regexp full-scan fallback is guarded above maxScanDocs (dcs reject)") {
     val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
       .select("docId", "text")
