@@ -70,7 +70,10 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
     bandsOfShingles(shingleTable(docs, idCol, textCol, shingleN), numHashes, bands)
 
-  private def pairsOfBands(b: DataFrame): DataFrame = {
+  private def pairsOfBands(b0: DataFrame): DataFrame = {
+    // the band table feeds BOTH sides of the self-join; without a cache
+    // the 16-hash min-aggregation upstream would run twice
+    val b = b0.cache()
     val l = b.select(col("band"), col("sig"), col("id").as("id1"))
     val r = b.select(col("band"), col("sig"), col("id").as("id2"))
     l.join(r, Seq("band", "sig"))
