@@ -205,6 +205,63 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate configs stay exact: 1-doc shards and 1-doc blocks") {
+    // every doc its own shard / its own block: maximal boundary stress
+    // for shallowSeek/seek/pivot logic and the merge paths
+    val rows = (0L until 60L).map { i =>
+      (f"u$i%04d", Seq.fill(3 + (i % 7).toInt)(Seq("aa", "bb", "cc")((i % 3).toInt)).mkString(" ") +
+        (if (i % 5 == 0) " dd" else ""), "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("url", "text", "lang")
+    val local = rows.zipWithIndex.map { case ((_, t, _), i) => (i.toLong, t) }
+    for (cfg <- Seq(
+      IndexBuilder.Config(docsPerShard = 1, blockSize = 4, partitions = 3, buildTrigrams = false),
+      IndexBuilder.Config(docsPerShard = 16, blockSize = 1, partitions = 3, buildTrigrams = false))) {
+      val tIdx = IndexBuilder.build(spark, df, cfg)
+      for (q <- Seq(Seq("aa", "dd"), Seq("aa", "bb", "cc"), Seq("dd"))) {
+        val got = Search.topK(spark, tIdx, q, 7).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assertSameRanking(got, localTopK(local, q, 7), s"cfg=$cfg q=$q")
+        val gotAnd = Search.topKAnd(spark, tIdx, q, 7).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assertSameRanking(gotAnd, localTopK(local, q, 7, requireAll = true),
+          s"AND cfg=$cfg q=$q")
+      }
+    }
+  }
+
+  test("empty and degenerate queries are handled gracefully") {
+    import graft.queries.QueryRunner
+    assert(QueryRunner.run(spark, idx, "", 10).count() == 0)
+    assert(QueryRunner.run(spark, idx, "lang:de", 10).count() == 0) // no terms
+    assert(QueryRunner.run(spark, idx, "the the the", 10).count() > 0) // dup terms
+    assert(Search.topK(spark, idx, Seq("the", "the"), 5).count() == 5)
+    // k far larger than matches
+    val big = Search.topKAnd(spark, idx, Seq("needlealpha"), 10000).count()
+    assert(big == 1)
+  }
+
+  test("3-part shard-aligned concat merge is byte-identical") {
+    val all = docs.orderBy("url").collect()
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16,
+      partitions = 4, buildTrigrams = false)
+    // 128 + 256 + rest: every prefix sum is a multiple of 64
+    val ranges = Seq(all.slice(0, 128), all.slice(128, 384), all.slice(384, all.length))
+    val parts = ranges.map { rows =>
+      IndexBuilder.build(spark, spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), docs.schema), cfg)
+    }
+    assert(IndexMerger.canConcat(parts, cfg))
+    val merged = IndexMerger.merge(spark, parts, cfg)
+    val direct = IndexBuilder.build(spark, docs, cfg)
+    def key(b: graft.index.PostingBlock) = (b.term, b.shard, b.blockId)
+    def repr(b: graft.index.PostingBlock) =
+      (b.term, b.shard, b.blockId, b.df, b.cf, b.maxTf, b.firstDoc, b.lastDoc,
+        b.docs.toSeq, b.tfs.toSeq, b.nPos, b.pos.toSeq, b.posrel.toSeq)
+    assert(merged.postings.collect().sortBy(key).map(repr).toSeq ==
+      direct.postings.collect().sortBy(key).map(repr).toSeq)
+  }
+
   test("topKAnd is conjunctive and matches brute-force restricted scoring") {
     val q = Seq("the", "qmarker5")
     val got = Search.topKAnd(spark, idx, q, 10).collect()
