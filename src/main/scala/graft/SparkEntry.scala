@@ -280,6 +280,18 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
         .orderBy("id1", "id2")),
+    // streaming-twin batch: tumbling-window event aggregation (the same
+    // operator runs under Structured Streaming with a watermark —
+    // StreamingSpec asserts equality)
+    "q_event_windows" -> ((s, dir) =>
+      graft.streaming.Events.windowedCounts(
+        s.read.parquet(s"$dir/events.parquet"), "1 hour")
+        .orderBy("window_start_us", "event_type")),
+    // gap-based sessionization over the event stream (30-minute gap)
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Events.sessionize(
+        s.read.parquet(s"$dir/events.parquet"), gapMin = 30)
+        .orderBy("user_id", "session")),
     // pipeline: newest-version dedup (X10 analogue: latest event per key)
     "q_newest_version" -> ((s, dir) =>
       Dedup.newestVersion(s.read.parquet(s"$dir/events.parquet"),
@@ -699,6 +711,29 @@ object SparkEntry {
          |WHERE dot / (nx.nrm * ny.nrm) >= 0.4
          |ORDER BY id1, id2""".stripMargin
     },
+    "q_event_windows" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(value) AS DOUBLE), 5) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS news
+        |  FROM e
+        |), g AS (
+        |  SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+        |  FROM f
+        |)
+        |SELECT user_id, session, epoch_us(min(ts)) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(value) AS DOUBLE), 5) AS total_value
+        |FROM g GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
     "q_newest_version" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

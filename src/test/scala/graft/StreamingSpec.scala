@@ -10,9 +10,83 @@ import graft.streaming.IndexFeeder
   * per-package index), mergeAndPublish ConcatN's them into a published
   * full version whose query results match a direct batch build over the
   * same documents. */
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  private def syntheticEvents: Seq[Ev] = {
+    val rnd = new scala.util.Random(31)
+    val types = Array("view", "click", "error")
+    (0 until 300).map { i =>
+      // ragged inter-arrival times so sessions and windows both split
+      val ts = new java.sql.Timestamp(1704067200000L + i * 137000L + rnd.nextInt(60000))
+      Ev(i.toLong, ts, rnd.nextInt(7).toLong, types(rnd.nextInt(3)),
+        math.round(rnd.nextDouble() * 1000) / 100.0)
+    }
+  }
+
+  test("streaming windowed counts (watermark) == batch windowedCounts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val events = syntheticEvents
+    val mem = MemoryStream[Ev]
+    val out = graft.streaming.Events.streamingWindowedCounts(
+      mem.toDF(), width = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    // two in-order micro-batches (watermark never drops anything in-order)
+    mem.addData(events.take(150): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(150): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits refined windows; the LAST emission per key is
+    // the final value — compare that against the batch twin
+    val streamed = spark.table("winagg")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) } // later rows overwrite
+    val batch = graft.streaming.Events.windowedCounts(spark.createDataset(events).toDF(), "1 hour")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // counts must match exactly; sums are refined per update — final wins
+    streamed.foreach { case (k, (n, s)) =>
+      assert((n, s) == batch(k), s"window $k: streamed ${(n, s)} batch ${batch(k)}")
+    }
+  }
+
+  test("mapGroupsWithState running totals == batch groupBy totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val events = syntheticEvents
+    val mem = MemoryStream[Ev]
+    val out = graft.streaming.Events.runningUserTotals(mem.toDF())
+    val q = out.toDF().writeStream.format("memory").queryName("usertotals")
+      .outputMode("update").start()
+    mem.addData(events.take(100): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(100): _*)
+    q.processAllAvailable()
+    q.stop()
+    // state accumulates across micro-batches; last emission per user is
+    // the full running total
+    val streamed = spark.table("usertotals").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
+    val batch = spark.createDataset(events).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, (n, s)) =>
+      val (bn, bs) = batch(u)
+      assert(n == bn && math.abs(s - bs) < 1e-9, s"user $u")
+    }
+  }
 
   test("file-stream batches -> per-batch indexes -> merged publish == direct build") {
     val root = java.nio.file.Files.createTempDirectory("graft-feed").toString
