@@ -326,7 +326,7 @@ object IndexBuilder {
       .repartitionByRange(partitions, col("url"))
       .sortWithinPartitions("url")
       .as[(String, String, String)]
-    sorted.rdd.zipWithIndex
+    sorted.rdd.zipWithIndex()
       .map { case ((url, text, lang), id) => (id, url, text, lang) }
       .toDS()
   }

@@ -267,7 +267,7 @@ object Search {
         if (score > ws || (score == ws && doc < wd)) { heap.dequeue(); heap.enqueue((doc, score)) }
       }
     }
-    val active = scala.collection.mutable.ArrayBuffer[TermCursor](cursors: _*)
+    val active = scala.collection.mutable.ArrayBuffer.from(cursors)
     while (active.nonEmpty) {
       active.filterInPlace(!_.exhausted)
       if (active.nonEmpty) {
@@ -596,7 +596,7 @@ object Search {
     val first = grams.head._1
     val last = grams.last._1
     val delta = bytes.length - 3
-    val candidates = tri.filter(col("tri").isin(needed.map(Integer.valueOf): _*))
+    val candidates = tri.filter(col("tri").isin(needed.toSeq.map(Integer.valueOf): _*))
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
         val byTri = it.toArray.groupBy(_.tri)
