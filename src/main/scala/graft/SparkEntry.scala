@@ -270,6 +270,15 @@ object SparkEntry {
         dim = 64, planes = 6)
         .orderBy("qid", "rank")
     }),
+    // pipeline: IVF ANN — nearest-cell coarse quantizer, nprobe=2
+    // (deterministic anchors so the oracle can inline them; the k-means-
+    // trained path is spec-tested in EngineSpec)
+    "q_ivf_ann" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        Similarity.ivfAnchors(64, 8), nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
     // pipeline: embedding-cosine near-duplicate pairs (exact baseline,
     // opt-in O(n²) — the default is the LSH path below)
     "q_embed_neardup" -> ((s, dir) =>
@@ -695,6 +704,35 @@ object SparkEntry {
          |FROM dots JOIN norms nx ON nx.vec_id = id1 JOIN norms ny ON ny.vec_id = id2
          |WHERE dot / (nx.nrm * ny.nrm) >= 0.4
          |ORDER BY id1, id2""".stripMargin,
+    "q_ivf_ann" -> {
+      val anchors = Similarity.ivfAnchors(64, 8)
+      def sExpr(j: Int): String = {
+        val c2 = anchors(j).map(x => x * x).sum
+        val dot = (0 until 64).map(i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${anchors(j)(i)}").mkString(" + ")
+        s"($c2 - 2.0 * ($dot))"
+      }
+      val structs = (0 until 8).map(j => s"struct_pack(s := ${sExpr(j)}, j := $j)").mkString(", ")
+      s"""$annFlat, cellrank AS (
+         |  SELECT vec_id, list_sort([$structs]) AS l FROM embeddings
+         |), ccell AS (SELECT vec_id, l[1].j AS cell FROM cellrank),
+         |qcell AS (SELECT vec_id, unnest([l[1].j, l[2].j]) AS cell FROM cellrank WHERE vec_id < 5),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(a.v * b.v) AS dot
+         |  FROM qcell q JOIN ccell c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+         |  JOIN flat a ON a.vec_id = q.vec_id JOIN flat b ON b.vec_id = c.vec_id AND b.i = a.i
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT qid, cid, round(CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE), 5) AS cosine
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+         |), ranked AS (
+         |  SELECT qid, cid, cosine,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
     "q_embed_neardup_lsh" -> {
       val bucket = lshBucketSql("embedding", 64, 6)
       s"""$annFlat, buck AS (

@@ -76,6 +76,108 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic anchor vectors for the IVF coarse quantizer — like
+    * [[hyperplanes]] but salted separately. Data-independent so the SQL
+    * oracle can inline them; production callers pass k-means centroids
+    * from [[kmeansCentroids]] instead. */
+  def ivfAnchors(dim: Int, k: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (p, i) =>
+      md.reset()
+      val hex = md.digest(s"ivf:$p:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
+
+  /** Deterministic Lloyd k-means (fixed iterations, evenly-spaced init
+    * over the id-ordered sample) — the production IVF trainer. Runs
+    * driver-side on a bounded sample, the standard IVF practice; the
+    * resulting centroids broadcast into [[ivfCosineTopK]] as literals. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8, iters: Int = 5,
+      sampleN: Int = 1024, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = emb
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(j => sample((j.toLong * sample.length / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j)))
+    }
+    cents
+  }
+
+  /** Ranked cell list of a vector: argmin-sorted (distance, cell) pairs.
+    * Distance surrogate per cell j: |c_j|² − 2·v·c_j (the |v|² term is
+    * common to all cells). sort_array on (s, j) structs breaks ties by
+    * the smaller cell id — reproducible in SQL with list_sort. */
+  private def cellRanking(vecCol: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]]) = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * call_function("graft_dot",
+          vecCol.cast("array<double>"), typedLit(c.toSeq))).as("s"),
+        lit(j).as("j"))
+    }
+    sort_array(array(entries: _*))
+  }
+
+  /** Cell id (nearest anchor/centroid) of each vector. */
+  def ivfCell(vecCol: org.apache.spark.sql.Column, cents: Array[Array[Double]]) =
+    cellRanking(vecCol, cents).getItem(0).getField("j")
+
+  /** IVF ANN: corpus vectors live in their nearest cell; each query
+    * probes its `nprobe` nearest cells and runs exact cosine only there —
+    * candidate volume drops ~k/nprobe-fold, the shuffle is an equi-join
+    * on the cell id. Pass [[kmeansCentroids]] output for trained cells or
+    * [[ivfAnchors]] for the deterministic data-independent quantizer
+    * (the oracle-tested default). Recall < 1 by construction. */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cell", ivfCell(col("cvec"), cents))
+      .withColumn("cn", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("cell", explode(slice(
+        cellRanking(col("qvec"), cents).getField("j"), 1, nprobe)))
+      .withColumn("qn", norm(col("qvec")))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: exact cosine but only within matching buckets.
     * The shuffle is an equi-join on the bucket id instead of a cross
     * join — the 100 TB-scale path. Recall < 1 by construction; bump

@@ -66,6 +66,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF with trained k-means centroids == local recomputation; high recall on clustered data") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    val centers = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, k = 6, iters = 5, sampleN = 300)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.ivfCosineTopK(emb, queries, 5, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // local recomputation of the exact same semantics
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def dist2Surrogate(v: Array[Double], c: Array[Double]): Double =
+      c.map(x => x * x).sum - 2.0 * v.zip(c).map { case (a, b) => a * b }.sum
+    def ranking(v: Array[Double]): Seq[Int] =
+      cents.indices.map(j => (dist2Surrogate(v, cents(j)), j)).sorted.map(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 100000) / 100000
+    }
+    val cellOf = vecs.map { case (id, v) => id -> ranking(v).head }
+    val want = (0L until 4L).flatMap { qid =>
+      val probes = ranking(vecs(qid)).take(2).toSet
+      val cands = vecs.keys.filter(c => c != qid && probes(cellOf(c)))
+        .map(c => (c, cos(vecs(qid), vecs(c)))).toSeq
+        .sortBy { case (c, s) => (-s, c) }.take(5)
+      cands.zipWithIndex.map { case ((c, s), r) => (qid, r + 1, c, s) }
+    }
+    assert(got == want)
+    // recall vs brute force: clustered data keeps most true neighbors in
+    // the probed cells
+    val brute = Similarity.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = got.map(t => (t._1, t._3)).toSet
+    val recall = ivfSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("newestVersion keeps exactly one latest row per key") {
     val rows = Seq(
       (1L, 100L, 10L), (1L, 200L, 11L), (1L, 200L, 12L), // tie on ts -> max tie col
