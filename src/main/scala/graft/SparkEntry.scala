@@ -74,6 +74,15 @@ object SparkEntry {
   private def docsWithIds(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).select(col("doc_id").as("docId"), col("text"))
 
+  /** k-means-trained IVF centroids, cached per sfDir. The oracle SQL for
+    * q_ivf_trained inlines these as literals — available only after the
+    * query has run in this JVM; Verify runs every query before dumping
+    * oracle_sql.json, so the driver's check always sees them. */
+  private val trainedCentsCache = TrieMap.empty[String, Array[Array[Double]]]
+  def trainedCents(s: SparkSession, dir: String): Array[Array[Double]] =
+    trainedCentsCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(s.read.parquet(s"$dir/embeddings.parquet"), k = 8))
+
   // fixed query constants (chosen from the synthetic vocabulary)
   val AndTerms = Seq("data", "table", "fast")
   val OrTerms = Seq("dup", "vector")
@@ -83,6 +92,12 @@ object SparkEntry {
   val SubstringNoCaseLit = "Fast Table" // mixed case: exercises the fold
   val TriLiterals = Seq("dat", "tab", "fas")
   val RegexPattern = "qu[ae]ry|sc[ao]n"
+  // exercises the compiler's case-fold path end-to-end (dcs's case-split,
+  // sourcebackend.go:315-335); (?i) is inline-flag syntax in Java regex
+  // (Spark rlike) AND RE2 (DuckDB regexp_matches) alike
+  val RegexNoCasePattern = "(?i)QU[AE]RY|SC[AO]N"
+  val BoolMixedQuery = "(data table) OR (dup vector)"
+  val PathFilterQuery = "dup path:[0-5]$" // urls ending in digits 0-5
   val BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("data", "table")),
     (1L, Seq("dup", "vector")),
@@ -220,19 +235,46 @@ object SparkEntry {
           round(col("score"), 5).as("score"), col("rn"))
         .orderBy("source", "rn")
     }),
-    // X3: grep with line numbers + context sizes (documents are
-    // single-line; multi-line context is covered by EngineSpec goldens)
+    // X3: grep with line numbers + context sizes, CANDIDATE-FED (r03):
+    // the trigram index pre-restricts the docs before the line-level scan,
+    // like dcs grepping only posting-query candidates
+    // (sourcebackend.go:360-418). Documents are single-line; multi-line
+    // context is covered by EngineSpec goldens.
     "q_grep_context" -> ((s, dir) =>
-      Search.grepContext(s, docsWithIds(s, dir), "dup", ctx = 2)
+      Search.grepContextIndexed(s, index(s, dir), docsWithIds(s, dir), "dup", ctx = 2)
         .select(col("docId").as("docid"), col("line_no"), col("line"),
           size(col("before")).as("n_before"), size(col("after")).as("n_after"))
         .orderBy("docid", "line_no")),
     // X4: FiveLines snippet — 5-line window around the first matching
-    // line (read.go:484-528 semantics; multi-line goldens in EngineSpec)
+    // line (read.go:484-528 semantics; multi-line goldens in EngineSpec),
+    // candidate-fed from the literal's trigram+positional candidates (r03)
     "q_snippet" -> ((s, dir) =>
-      Search.fiveLines(docsWithIds(s, dir), "dup")
+      Search.fiveLinesIndexed(s, index(s, dir), docsWithIds(s, dir), "dup")
         .select(col("docId").as("docid"), col("line_no"), col("snippet"))
         .orderBy("docid")),
+    // nested boolean grammar (r03): mixed AND/OR with parens —
+    // Or(And(data,table), And(dup,vector)) evaluated per shard in one job
+    "q_bool_mixed" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), BoolMixedQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // case-insensitive regexp end-to-end: (?i) drives the compiler's
+    // fold path, verification uses the same inline-flag pattern
+    "q_regexp_nocase" -> ((s, dir) =>
+      Search.regexpSearch(s, index(s, dir), docsWithIds(s, dir), RegexNoCasePattern)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // path: REGEXP filter (dcs path:/-path: compile as regexps,
+    // sourcebackend.go:28-129) — rlike over the url
+    "q_path_filter" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), PathFilterQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // IVF ANN over k-means-TRAINED centroids (oracle inlines the trained
+    // centroids as SQL literals — the hyperplane-literal technique)
+    "q_ivf_trained" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        trainedCents(s, dir), nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
     // pipeline: exact dedup
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(corpus(s, dir), idCol = "doc_id")
@@ -429,6 +471,40 @@ object SparkEntry {
     }.mkString(" + ")
   }
 
+  /** IVF oracle over INLINED centroid literals (anchor- or k-means-
+    * trained — the same arithmetic as Spark's graft_dot ascending-index
+    * fold, so results are bit-identical). */
+  private def ivfSql(cents: Array[Array[Double]], nprobe: Int): String = {
+    val dim = cents.head.length
+    def sExpr(j: Int): String = {
+      val c2 = cents(j).map(x => x * x).sum
+      val dot = (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ${cents(j)(i)}").mkString(" + ")
+      s"($c2 - 2.0 * ($dot))"
+    }
+    val structs = cents.indices.map(j => s"struct_pack(s := ${sExpr(j)}, j := $j)").mkString(", ")
+    val probes = (1 to nprobe).map(p => s"l[$p].j").mkString(", ")
+    s"""$annFlat, cellrank AS (
+       |  SELECT vec_id, list_sort([$structs]) AS l FROM embeddings
+       |), ccell AS (SELECT vec_id, l[1].j AS cell FROM cellrank),
+       |qcell AS (SELECT vec_id, unnest([$probes]) AS cell FROM cellrank WHERE vec_id < 5),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(a.v * b.v) AS dot
+       |  FROM qcell q JOIN ccell c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |  JOIN flat a ON a.vec_id = q.vec_id JOIN flat b ON b.vec_id = c.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT qid, cid, round(CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE), 5) AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+       |), ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   private val annFlat =
     """WITH flat AS (
       |  SELECT vec_id, CAST(u.v AS DOUBLE) AS v, u.i
@@ -522,6 +598,20 @@ object SparkEntry {
     "q_regexp" ->
       s"""$P SELECT docid FROM ids WHERE regexp_matches(text, '$RegexPattern')
          |ORDER BY docid""".stripMargin,
+    "q_regexp_nocase" ->
+      s"""$P SELECT docid FROM ids WHERE regexp_matches(text, '$RegexNoCasePattern')
+         |ORDER BY docid""".stripMargin,
+    "q_bool_mixed" -> bm25Sql(Seq("data", "dup", "table", "vector"), 10,
+      """WHERE docid IN (
+        |  SELECT docid FROM tok WHERE term IN ('data', 'table')
+        |  GROUP BY docid HAVING count(DISTINCT term) = 2
+        |  UNION
+        |  SELECT docid FROM tok WHERE term IN ('dup', 'vector')
+        |  GROUP BY docid HAVING count(DISTINCT term) = 2
+        |)""".stripMargin),
+    "q_path_filter" -> bm25Sql(Seq("dup"), 10,
+      """WHERE docid IN (SELECT docid FROM ids
+        |  WHERE regexp_matches('doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0'), '[0-5]$'))""".stripMargin),
     "q_trigram_postings" ->
       s"""$P, tris AS (
          |  SELECT i.docid, substr(hex(encode(i.text)), CAST(2 * u.i - 1 AS INT), 6) AS tri
@@ -704,35 +794,7 @@ object SparkEntry {
          |FROM dots JOIN norms nx ON nx.vec_id = id1 JOIN norms ny ON ny.vec_id = id2
          |WHERE dot / (nx.nrm * ny.nrm) >= 0.4
          |ORDER BY id1, id2""".stripMargin,
-    "q_ivf_ann" -> {
-      val anchors = Similarity.ivfAnchors(64, 8)
-      def sExpr(j: Int): String = {
-        val c2 = anchors(j).map(x => x * x).sum
-        val dot = (0 until 64).map(i =>
-          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${anchors(j)(i)}").mkString(" + ")
-        s"($c2 - 2.0 * ($dot))"
-      }
-      val structs = (0 until 8).map(j => s"struct_pack(s := ${sExpr(j)}, j := $j)").mkString(", ")
-      s"""$annFlat, cellrank AS (
-         |  SELECT vec_id, list_sort([$structs]) AS l FROM embeddings
-         |), ccell AS (SELECT vec_id, l[1].j AS cell FROM cellrank),
-         |qcell AS (SELECT vec_id, unnest([l[1].j, l[2].j]) AS cell FROM cellrank WHERE vec_id < 5),
-         |dots AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(a.v * b.v) AS dot
-         |  FROM qcell q JOIN ccell c ON c.cell = q.cell AND c.vec_id <> q.vec_id
-         |  JOIN flat a ON a.vec_id = q.vec_id JOIN flat b ON b.vec_id = c.vec_id AND b.i = a.i
-         |  GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT qid, cid, round(CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE), 5) AS cosine
-         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
-         |), ranked AS (
-         |  SELECT qid, cid, cosine,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS INT) AS rank
-         |  FROM scored
-         |)
-         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin
-    },
+    "q_ivf_ann" -> ivfSql(Similarity.ivfAnchors(64, 8), nprobe = 2),
     "q_embed_neardup_lsh" -> {
       val bucket = lshBucketSql("embedding", 64, 6)
       s"""$annFlat, buck AS (
@@ -825,5 +887,11 @@ object SparkEntry {
          |SELECT id, CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
          |  CAST(CASE WHEN nb < 256 THEN nb ELSE ((nf + 3) // 4) * 256 END AS BIGINT) AS bytes_sampled
          |FROM calc ORDER BY id""".stripMargin
-  )
+  ) ++
+    // q_ivf_trained inlines the k-means-trained centroids, which exist
+    // only after the query has run in this JVM (Verify runs every query
+    // before dumping oracle_sql.json). If it never ran, the entry is
+    // omitted → the driver records a weaker rows-only check.
+    trainedCentsCache.readOnlySnapshot().values.headOption
+      .map(c => "q_ivf_trained" -> ivfSql(c, nprobe = 2))
 }

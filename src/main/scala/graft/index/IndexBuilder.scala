@@ -645,7 +645,17 @@ object IndexBuilder {
     val docsDf = spark.read.parquet(s"$dir/docs")
     val docmapDf = // tolerate pre-r02 layouts without the gate column
       if (docsDf.columns.contains("indexable")) docsDf
-      else docsDf.withColumn("indexable", lit(true))
+      else {
+        // ADVICE r02: backfilling indexable=true hides the trigram recall
+        // hole for legacy indexes (ingest-gated docs have no trigram
+        // postings but would claim to) — surface it so operators know
+        // substring/regexp recall is not oracle-exact until a rebuild
+        System.err.println(s"[graft] WARN: $dir predates the 'indexable' " +
+          "gate column; synthesizing indexable=true for all docs — " +
+          "substring/regexp recall over ingest-gated docs is not " +
+          "oracle-exact until the index is rebuilt")
+        docsDf.withColumn("indexable", lit(true))
+      }
     BuiltIndex(
       meta,
       docmapDf

@@ -85,7 +85,15 @@ object IndexMerger {
           p.trigrams.get.map(blk => blk.copy(shard = blk.shard + baseShards,
             firstDoc = blk.firstDoc + b, lastDoc = blk.lastDoc + b))
         }.reduce(_ union _))
-      else None
+      else {
+        // ADVICE r02: mixed trigram presence silently degrades substring/
+        // regexp on the merged index to guarded full scans — say so
+        if (parts.exists(_.trigrams.isDefined))
+          System.err.println("[graft] WARN: concat merge drops trigram " +
+            "sections (parts have mixed trigram presence); substring/" +
+            "regexp on the merged index will reject above maxScanDocs")
+        None
+      }
 
     // termstats from block metadata alone (df/cf/maxTf live on the rows)
     val termstats = postings.toDF()
@@ -165,7 +173,13 @@ object IndexMerger {
           }.toDF("tri", "shard", "doc", "pos")
         }.reduce(_ union _)
         Some(reencodeTri(spark, triOccs, dps, cfg))
-      } else None
+      } else {
+        if (parts.exists(_.trigrams.isDefined))
+          System.err.println("[graft] WARN: general merge drops trigram " +
+            "sections (parts have mixed trigram presence); substring/" +
+            "regexp on the merged index will reject above maxScanDocs")
+        None
+      }
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)

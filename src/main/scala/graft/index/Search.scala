@@ -165,7 +165,11 @@ object Search {
       .map { case (q, ts) => (q, ts.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.sorted.toArray) }
       .sortBy(_._1)
     val allTerms = qs.flatMap(_._2).distinct.sorted
-    if (allTerms.isEmpty) return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "docId", "score")
+    // both exits share one schema (ADVICE r02): the normal path appends
+    // `rank`, so the degenerate empty-batch result must carry it too
+    if (allTerms.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "docId", "score", "rank")
     val stats = idx.termstats.filter(col("term").isin(allTerms.toSeq: _*))
       .collect().map(t => t.term -> t).toMap
     val dfs: Map[String, Long] = stats.map { case (t, s) => t -> s.df }
@@ -174,6 +178,11 @@ object Search {
     val dps = meta.docsPerShard
     val nDocs = meta.nDocs
     val avgdl = meta.avgdl
+    // per-term global score upper bounds — the same BMW ubs topK uses,
+    // here driving the per-query TAAT maxscore stop rule in batchShard
+    val ubs: Map[String, Double] = stats.map { case (t, s) =>
+      t -> BM25.maxScore(s.maxTf, s.df, nDocs, avgdl)
+    }
     val bQs = spark.sparkContext.broadcast(qs)
 
     val blocks = idx.postings.filter(col("term").isin(live.toSeq: _*))
@@ -181,7 +190,7 @@ object Search {
       (_, blockIt, normIt) =>
         val norms = normIt.toSeq.headOption
         if (norms.isEmpty) Iterator.empty[(Long, Long, Double)]
-        else batchShard(blockIt, norms.get, dps, dfs, nDocs, avgdl, k, bQs.value)
+        else batchShard(blockIt, norms.get, dps, dfs, ubs, nDocs, avgdl, k, bQs.value)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
@@ -192,10 +201,21 @@ object Search {
   }
 
   /** One shard of topKBatch: decode each needed term once, score every
-    * query against the decoded lists, local top-k per query. */
+    * query against the decoded lists, local top-k per query.
+    *
+    * Per query, terms are processed in DESCENDING upper-bound order with
+    * the TAAT maxscore stop rule (Turtle & Flood): once the summed ub of
+    * the still-unprocessed terms falls strictly below the current k-th
+    * best partial score, no unseen doc can reach the top-k — the
+    * accumulator set freezes and remaining terms (the stopword tail)
+    * only update existing candidates, via binary search into the decoded
+    * posting arrays when that is cheaper than a membership-filtered scan.
+    * Exact: every accumulated doc still receives all its contributions;
+    * the bound uses strict `<`, so tie-break order is never affected. */
   private def batchShard(
       blockIt: Iterator[PostingBlock], norms: DocNorms, dps: Long,
-      dfs: Map[String, Long], nDocs: Long, avgdl: Double, k: Int,
+      dfs: Map[String, Long], ubs: Map[String, Double],
+      nDocs: Long, avgdl: Double, k: Int,
       qs: Array[(Long, Array[String])]): Iterator[(Long, Long, Double)] = {
     val dls = Varint.decodeInts(norms.dls, norms.n)
     val base = norms.base
@@ -212,21 +232,64 @@ object Search {
     implicit val ord: Ordering[(Long, Double)] =
       Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
     qs.iterator.flatMap { case (qid, terms) =>
-      val present = terms.filter(byTerm.contains) // lexicographic order kept
+      val present = terms.filter(byTerm.contains)
       if (present.isEmpty) Iterator.empty[(Long, Long, Double)]
       else {
+        // ub-descending (term-asc tiebreak): rare high-impact terms build
+        // the accumulator set, the low-ub stopword tail hits the stop rule
+        val byUb = present.sortBy(t => (-ubs(t), t))
         val acc = scala.collection.mutable.LongMap.empty[Double]
-        present.foreach { t =>
+        var remaining = 0.0
+        byUb.foreach(t => remaining += ubs(t))
+        var frozen = false
+        var candSorted: Array[Long] = null
+        byUb.foreach { t =>
+          if (!frozen && acc.size >= k) {
+            val vals = acc.values.toArray
+            java.util.Arrays.sort(vals)
+            val theta = vals(vals.length - k) // k-th best PARTIAL (≤ final)
+            if (remaining < theta) {
+              frozen = true
+              candSorted = acc.keys.toArray
+              java.util.Arrays.sort(candSorted)
+            }
+          }
           val (ds, tfArr) = byTerm(t)
           val df = dfs(t)
-          var i = 0
-          while (i < ds.length) {
-            val doc = ds(i)
-            val dl = dls((doc - base).toInt)
-            acc(doc) = acc.getOrElse(doc, 0.0) +
-              BM25.score(tfArr(i), df, dl, nDocs, avgdl)
-            i += 1
+          if (!frozen) {
+            var i = 0
+            while (i < ds.length) {
+              val doc = ds(i)
+              val dl = dls((doc - base).toInt)
+              acc(doc) = acc.getOrElse(doc, 0.0) +
+                BM25.score(tfArr(i), df, dl, nDocs, avgdl)
+              i += 1
+            }
+          } else if (candSorted.length.toLong *
+              (64 - java.lang.Long.numberOfLeadingZeros(math.max(ds.length, 1).toLong)) < ds.length) {
+            // few candidates vs a long (stopword) list: O(|C| log df)
+            var c = 0
+            while (c < candSorted.length) {
+              val doc = candSorted(c)
+              val pos = java.util.Arrays.binarySearch(ds, doc)
+              if (pos >= 0) {
+                val dl = dls((doc - base).toInt)
+                acc(doc) += BM25.score(tfArr(pos), df, dl, nDocs, avgdl)
+              }
+              c += 1
+            }
+          } else {
+            var i = 0
+            while (i < ds.length) {
+              val doc = ds(i)
+              if (acc.contains(doc)) {
+                val dl = dls((doc - base).toInt)
+                acc(doc) += BM25.score(tfArr(i), df, dl, nDocs, avgdl)
+              }
+              i += 1
+            }
           }
+          remaining -= ubs(t)
         }
         val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
         acc.foreach { case (doc, s) =>
@@ -538,6 +601,42 @@ object Search {
       .toDF("docId")
   }
 
+  /** Evaluate an arbitrary nested AND/OR tree over term postings in ONE
+    * job: per shard, each referenced term's docid sections decode once and
+    * the tree folds bottom-up with sorted intersect/union — the same
+    * evaluator shape [[regexpCandidates]] runs over trigram sections. This
+    * is the posting-side of dcs's nested alternation semantics
+    * (`internal/index/regexp.go:41-281`: arbitrary OR nested under
+    * concatenation), which the flat searchAnd/searchOr pair cannot express
+    * (`(a b) OR (c d)` is neither one AND nor one OR). */
+  def boolSearch(spark: SparkSession, idx: BuiltIndex,
+      q: graft.queries.BoolQuery): DataFrame = {
+    import spark.implicits._
+    import graft.queries.{BoolQuery => BQ}
+    val terms = q.leafTerms.distinct.sorted
+    if (terms.isEmpty) return spark.emptyDataset[Long].toDF("docId")
+    val dps = idx.meta.docsPerShard
+    idx.postings.filter(col("term").isin(terms: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val lists: Map[String, Array[Long]] = it.toArray.groupBy(_.term).map {
+          case (t, bs) =>
+            t -> bs.sortBy(_.firstDoc).flatMap(b => Postings.decodeDocsTfs(b, dps)._1)
+        }
+        def eval(n: BQ): Array[Long] = n match {
+          case BQ.Term(t) => lists.getOrElse(t, Array.empty[Long])
+          case BQ.And(subs) =>
+            val parts = subs.map(eval)
+            if (parts.exists(_.isEmpty)) Array.empty[Long]
+            else parts.sortBy(_.length).reduce(intersectSorted)
+          case BQ.Or(subs) =>
+            subs.map(eval).foldLeft(Array.empty[Long])(unionSorted)
+        }
+        eval(q).iterator
+      }
+      .toDF("docId")
+  }
+
   /** Phrase query (J3 analogue over token positions): docs where the terms
     * occur at consecutive token positions. Restrict-list pushdown (F6):
     * positions are only decoded for docs surviving the docid intersection. */
@@ -584,7 +683,24 @@ object Search {
     * AND (first+last positional refinement, mirroring the reference's
     * positional fast path `internal/index/read.go:530-676`) then exact
     * verification against the document text (the grep stage, X2/X3). */
-  def substring(spark: SparkSession, idx: BuiltIndex, docs: DataFrame, literal: String): DataFrame = {
+  def substring(spark: SparkSession, idx: BuiltIndex, docs: DataFrame, literal: String): DataFrame =
+    substringCandidates(spark, idx, literal)
+      .join(docs, "docId")
+      .filter(col("text").contains(literal))
+      .select("docId")
+
+  /** Conservative candidate docIds for a literal: trigram AND with
+    * first/last positional refinement, UNIONED with the non-indexable docs
+    * (gated at ingest, so absent from the trigram sections — the recall
+    * hole dcs avoids by excluding them from the corpus, write.go:143-147).
+    * Callers MUST still verify (`text.contains`) — this is the
+    * candidate-generation half of [[substring]], exposed so downstream
+    * operators (snippets, grep) can pre-restrict instead of scanning the
+    * corpus (dcs greps only posting-query candidates,
+    * sourcebackend.go:360-418). `audit` counts index-derived candidates —
+    * tests assert it stays far below corpus size. */
+  def substringCandidates(spark: SparkSession, idx: BuiltIndex, literal: String,
+      audit: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val tri = idx.trigrams.getOrElse(
       throw new IllegalStateException("index built without trigram sections"))
@@ -625,17 +741,15 @@ object Search {
           }
         }
       }
-      .toDF("docId")
-    // exact verification join (dcs's bytes.Equal stage,
-    // sourcebackend.go:447-545): conservative candidates -> true matches.
-    // Docs that failed the trigram ingest gate have no trigram postings
+    val counted = audit match {
+      case Some(acc) => candidates.map { d => acc.add(1); d }
+      case None => candidates
+    }
+    // docs that failed the trigram ingest gate have no trigram postings
     // but are still part of the corpus — union them into the candidates
     // so verification sees them (recall-hole fix; dcs instead excludes
     // them from the corpus entirely, write.go:143-147)
-    candidates.union(nonIndexableDocs(idx)).distinct()
-      .join(docs, "docId")
-      .filter(col("text").contains(literal))
-      .select("docId")
+    counted.toDF("docId").union(nonIndexableDocs(idx)).distinct()
   }
 
   /** docIds absent from the trigram index (failed the ingest gate). */
@@ -651,7 +765,7 @@ object Search {
     * trigram are candidates (first/last positional refinement over the
     * variant-union position lists), then `lower(text)` verification. */
   def substringNoCase(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
-      literal: String): DataFrame = {
+      literal: String, maxScanDocs: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val folded = literal.toLowerCase(java.util.Locale.ROOT)
     val verified: DataFrame => DataFrame = cand =>
@@ -659,9 +773,19 @@ object Search {
         .filter(lower(col("text")).contains(folded))
         .select("docId")
     // non-ASCII case folding changes the UTF-8 byte layout between cases;
-    // fall back to a verified scan for those rare literals
-    if (!graft.functions.Text.isAscii(folded) || idx.trigrams.isEmpty)
+    // those rare literals fall back to a verified scan — but ONLY below
+    // maxScanDocs corpus size, the same guard regexpSearch applies
+    // (dcs-web.go:98-120 semantics): one umlaut query must not be able to
+    // full-scan a web-scale corpus
+    if (!graft.functions.Text.isAscii(folded) || idx.trigrams.isEmpty) {
+      require(idx.meta.nDocs <= maxScanDocs,
+        s"case-insensitive literal '$literal' cannot use the trigram index " +
+          s"(non-ASCII fold or no trigram sections) and the corpus " +
+          s"(${idx.meta.nDocs} docs) exceeds maxScanDocs=$maxScanDocs — " +
+          "rejected (dcs-web.go:98-120 semantics); use a case-sensitive " +
+          "or ASCII literal")
       return verified(idx.docmap.select(col("docId")).toDF())
+    }
     val bytes = folded.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     require(bytes.length >= 3, "substring query needs >= 3 bytes")
     val grams = Text.trigramsWithOffsets(folded)
@@ -732,14 +856,34 @@ object Search {
     */
   def regexpSearch(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
       pattern: String, maxScanDocs: Long = 1L << 20): DataFrame = {
+    val verified: DataFrame => DataFrame =
+      cand => cand.join(docs, "docId").filter(col("text").rlike(pattern)).select("docId")
+    regexpCandidates(spark, idx, pattern) match {
+      case Some(cand) => verified(cand)
+      case None =>
+        require(idx.meta.nDocs <= maxScanDocs,
+          s"regexp '$pattern' has no indexable trigrams and the corpus " +
+            s"(${idx.meta.nDocs} docs) exceeds maxScanDocs=$maxScanDocs — " +
+            "rejected (dcs-web.go:98-120 semantics); narrow the pattern")
+        verified(idx.docmap.select(col("docId"))) // full-scan fallback
+    }
+  }
+
+  /** Conservative candidate docIds for a regexp: the compiled trigram
+    * query (X1) evaluated per shard over the trigram docid sections,
+    * unioned with the non-indexable docs. `None` when the pattern yields
+    * no index restriction (QAll, multibyte trigrams, or an index without
+    * trigram sections) — the caller decides between a guarded full scan
+    * and rejection. Callers MUST still verify with the real regexp engine.
+    * `audit` counts index-derived candidates (tests assert candidate-fed
+    * grep verifies far fewer docs than the corpus holds). */
+  def regexpCandidates(spark: SparkSession, idx: BuiltIndex, pattern: String,
+      audit: Option[org.apache.spark.util.LongAccumulator] = None): Option[DataFrame] = {
     import spark.implicits._
     import graft.queries.{TriQuery, TrigramCompiler}
     val q = TrigramCompiler.compile(pattern)
-    val verified: DataFrame => DataFrame =
-      cand => cand.join(docs, "docId").filter(col("text").rlike(pattern)).select("docId")
-
     if (q.op == TriQuery.QNone)
-      return spark.emptyDataset[Long].toDF("docId")
+      return Some(spark.emptyDataset[Long].toDF("docId"))
 
     def triKey(s: String): Option[Int] = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -749,13 +893,8 @@ object Search {
     }
     val wanted = q.allTrigrams.toSeq.sorted
     val keys = wanted.flatMap(triKey)
-    if (q.op == TriQuery.QAll || keys.length < wanted.length || idx.trigrams.isEmpty) {
-      require(idx.meta.nDocs <= maxScanDocs,
-        s"regexp '$pattern' has no indexable trigrams and the corpus " +
-          s"(${idx.meta.nDocs} docs) exceeds maxScanDocs=$maxScanDocs — " +
-          "rejected (dcs-web.go:98-120 semantics); narrow the pattern")
-      return verified(idx.docmap.select(col("docId"))) // full-scan fallback
-    }
+    if (q.op == TriQuery.QAll || keys.length < wanted.length || idx.trigrams.isEmpty)
+      return None
 
     val keyOf: Map[String, Int] = wanted.zip(keys).toMap
     val dps = idx.meta.docsPerShard
@@ -784,10 +923,13 @@ object Search {
         }
         eval(q).map(_.iterator).getOrElse(Iterator.empty)
       }
-      .toDF("docId")
+    val counted = audit match {
+      case Some(acc) => candidates.map { d => acc.add(1); d }
+      case None => candidates
+    }
     // docs that failed the ingest gate have no trigram postings — include
     // them in verification so results match a full-corpus oracle
-    verified(candidates.union(nonIndexableDocs(idx)).distinct())
+    Some(counted.toDF("docId").union(nonIndexableDocs(idx)).distinct())
   }
 
   private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -849,6 +991,43 @@ object Search {
             least(col("m") + 2, size(col("ls"))) - greatest(col("m") - 2, lit(1)) + 1))
           .as("snippet"))
   }
+
+  /** Candidate-fed grep (the shape dcs actually runs: grep ONLY the files
+    * the posting query produced, `sourcebackend.go:360-418`): restrict
+    * `docs` to the trigram candidates of `pattern` before the line-level
+    * rlike scan. Patterns with no indexable trigrams fall back to the full
+    * scan only below `maxScanDocs`, else they are rejected — corpus-wide
+    * grep at web scale is a self-inflicted DoS. */
+  def grepContextIndexed(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
+      pattern: String, ctx: Int = 2, maxScanDocs: Long = 1L << 20,
+      audit: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    grepContext(spark, restrictToCandidates(spark, idx, docs, pattern, maxScanDocs, audit),
+      pattern, ctx)
+
+  /** Candidate-fed FiveLines snippet: the literal's trigram candidates
+    * (positional-refined) pre-restrict `docs`, so snippet extraction
+    * touches O(candidate docs), not the corpus (read.go:484-528 runs on
+    * posting-query results only). */
+  def fiveLinesIndexed(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
+      literal: String,
+      audit: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    fiveLines(docs.join(substringCandidates(spark, idx, literal, audit),
+      Seq("docId"), "left_semi"), literal)
+
+  /** `docs` restricted (left-semi) to the pattern's index candidates;
+    * guarded full passthrough when the pattern is unindexable. */
+  private def restrictToCandidates(spark: SparkSession, idx: BuiltIndex,
+      docs: DataFrame, pattern: String, maxScanDocs: Long,
+      audit: Option[org.apache.spark.util.LongAccumulator]): DataFrame =
+    regexpCandidates(spark, idx, pattern, audit) match {
+      case Some(cand) => docs.join(cand, Seq("docId"), "left_semi")
+      case None =>
+        require(idx.meta.nDocs <= maxScanDocs,
+          s"pattern '$pattern' has no indexable trigrams and the corpus " +
+            s"(${idx.meta.nDocs} docs) exceeds maxScanDocs=$maxScanDocs — " +
+            "rejected (dcs-web.go:98-120 semantics); narrow the pattern")
+        docs
+    }
 
   /** Independent brute-force BM25 scorer (the rank-identity oracle,
     * FIXTURES.md §2): tokenizes from scratch with DataFrame ops only —

@@ -70,10 +70,10 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
     bandsOfShingles(shingleTable(docs, idCol, textCol, shingleN), numHashes, bands)
 
-  private def pairsOfBands(b0: DataFrame): DataFrame = {
-    // the band table feeds BOTH sides of the self-join; without a cache
-    // the 16-hash min-aggregation upstream would run twice
-    val b = b0.cache()
+  private def pairsOfBands(b: DataFrame): DataFrame = {
+    // the band table feeds BOTH sides of the self-join — the CALLER must
+    // persist it (and unpersist after materializing downstream), else the
+    // 16-hash min-aggregation upstream runs twice
     val l = b.select(col("band"), col("sig"), col("id").as("id1"))
     val r = b.select(col("band"), col("sig"), col("id").as("id2"))
     l.join(r, Seq("band", "sig"))
@@ -81,10 +81,17 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /** LSH candidate pairs from banded minhash signatures (id1 < id2). */
+  /** LSH candidate pairs from banded minhash signatures (id1 < id2).
+    * The pair table (small) is materialized via localCheckpoint so the
+    * band cache can be released before returning — repeated calls in a
+    * long-lived session must not accumulate cached partitions. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    pairsOfBands(minhashBands(docs, idCol, textCol, shingleN, numHashes, bands))
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val b = minhashBands(docs, idCol, textCol, shingleN, numHashes, bands).cache()
+    val out = pairsOfBands(b).localCheckpoint(true)
+    b.unpersist()
+    out
+  }
 
   /** The composed 100 TB near-dup pipeline: MinHash+LSH candidate pairs →
     * exact n-gram-Jaccard verification restricted to those pairs. The only
@@ -95,19 +102,33 @@ object Dedup {
   def lshJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN).cache()
-    val pairs = pairsOfBands(bandsOfShingles(sh, numHashes, bands))
+    // the shingle table feeds the minhash stage AND both sides of the
+    // verification join; persist it once. DISK_ONLY, deliberately: at
+    // 100 TB the exploded shingle table is ~10× the corpus — caching it
+    // in memory would evict shuffle/execution pages, while recomputing
+    // it three times pays the tokenize+explode twice more. Local disk is
+    // the cheap middle. The small pair result is localCheckpoint'ed so
+    // both caches release before returning (no accumulation across calls
+    // in a long-lived session, ADVICE r02).
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bandTable = bandsOfShingles(sh, numHashes, bands).cache()
+    val pairs = pairsOfBands(bandTable)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("id").as("id1"), col("sh")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh")), Seq("id2", "sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
       .withColumn("j_raw", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("j_raw") >= threshold)
       .select(col("id1"), col("id2"), round(col("j_raw"), 5).as("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    bandTable.unpersist()
+    result
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
@@ -124,13 +145,24 @@ object Dedup {
       .join(sh.select(col("id").as("id2"), col("sh")), "sh")
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
       .withColumn("j_raw", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("j_raw") >= threshold) // filter on the raw value; round only for output
       .select(col("id1"), col("id2"), round(col("j_raw"), 5).as("jaccard"))
+      .localCheckpoint(true) // release the shingle cache before returning
+    sh.unpersist()
+    result
   }
+
+  /** Embedding-cosine near-dup pairs via LSH buckets — an explicit name
+    * for the default path of [[embeddingNearDup]], for call sites that
+    * want the recall<1 semantics visible. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+      dim: Int = 64, planes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddingNearDup(emb, threshold, exact = false, dim, planes, idCol, vecCol)
 
   /** Embedding-cosine near-duplicate pairs: (id1 < id2, cosine ≥ threshold).
     * The DEFAULT is the LSH-bucketed path (`exact = false`): candidates are
@@ -138,7 +170,12 @@ object Dedup {
     * shuffle instead of a cross join, the only shape that survives 10⁹
     * vectors (recall < 1 by construction; add plane rotations for more).
     * `exact = true` is the O(n²) all-pairs verification-grade baseline —
-    * for oracles and small partitions only. */
+    * for oracles and small partitions only.
+    *
+    * NOTE (r02 semantic change, ADVICE r02): the default flipped from
+    * exact=true to exact=false. Callers that need the exhaustive pair set
+    * must pass `exact = true` explicitly — or call [[embeddingNearDupLsh]]
+    * to make the approximate semantics explicit at the call site. */
   def embeddingNearDup(emb: DataFrame, threshold: Double, exact: Boolean = false,
       dim: Int = 64, planes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -6,23 +6,52 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 import graft.index.{BuiltIndex, Postings, Search}
 
+/** Nested boolean term query — dcs accepts arbitrary regexp alternation
+  * nested under concatenation (`internal/index/regexp.go:41-281`); this is
+  * the keyword-grammar equivalent: `(a b) OR (c d)` parses to
+  * `Or(And(a,b), And(c,d))`. Evaluated in one job by
+  * [[graft.index.Search.boolSearch]]. */
+sealed trait BoolQuery extends Serializable {
+  def leafTerms: Seq[String]
+}
+object BoolQuery {
+  final case class Term(t: String) extends BoolQuery {
+    def leafTerms: Seq[String] = Seq(t)
+  }
+  final case class And(subs: Seq[BoolQuery]) extends BoolQuery {
+    def leafTerms: Seq[String] = subs.flatMap(_.leafTerms)
+  }
+  final case class Or(subs: Seq[BoolQuery]) extends BoolQuery {
+    def leafTerms: Seq[String] = subs.flatMap(_.leafTerms)
+  }
+}
+
 /** Parsed search query — the analogue of dcs's keyword rewrite
   * (`cmd/dcs-web/search/query-rewrite.go:15-59`): bare terms, quoted
-  * phrases, `OR` groups, `lang:`/`site:` filters (dcs `package:`/`path:`),
-  * `-term` negation (dcs `-package:`). */
+  * phrases, parenthesized `OR` groups, `lang:`/`site:`/`path:` filters
+  * (dcs `package:`/`path:` — both REGEXP filters in dcs,
+  * `sourcebackend.go:28-129`), `-term` negation (dcs `-package:`).
+  *
+  * `bool` is set ONLY for queries that mix AND/OR (e.g. `a b OR c d`,
+  * parens); flat conjunctions/disjunctions keep using
+  * `andTerms`/`orTerms` so the fast paths stay unchanged. */
 final case class ParsedQuery(
     andTerms: Seq[String],
     orTerms: Seq[String],
     phrases: Seq[Seq[String]],
     negTerms: Seq[String],
     lang: Option[String],
-    site: Option[String],
+    site: Option[String], // regexp over the url host (dcs package: semantics)
     negLang: Option[String] = None, // -lang: (dcs -package:, sourcebackend.go:28-129)
-    negSite: Option[String] = None) { // -site: (dcs npath)
+    negSite: Option[String] = None, // -site: (dcs npackage)
+    path: Option[String] = None, // regexp over the full url (dcs path:)
+    negPath: Option[String] = None, // -path: (dcs npath)
+    bool: Option[BoolQuery] = None) {
   /** all positive scoring terms, lexicographically sorted (deterministic
     * score-accumulation order) */
   def scoringTerms: Seq[String] =
-    (andTerms ++ orTerms ++ phrases.flatten).distinct.sorted
+    (andTerms ++ orTerms ++ phrases.flatten ++ bool.toSeq.flatMap(_.leafTerms))
+      .distinct.sorted
 }
 
 object QueryParser {
@@ -35,20 +64,77 @@ object QueryParser {
     var site: Option[String] = None
     var negLang: Option[String] = None
     var negSite: Option[String] = None
+    var path: Option[String] = None
+    var negPath: Option[String] = None
     val neg = scala.collection.mutable.ArrayBuffer.empty[String]
-    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
-    var orMode = false
-    rest.split("\\s+").filter(_.nonEmpty).foreach {
-      case t if t.toLowerCase.startsWith("lang:") => lang = Some(t.drop(5).toLowerCase)
-      case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5).toLowerCase)
-      case t if t.toLowerCase.startsWith("-lang:") => negLang = Some(t.drop(6).toLowerCase)
-      case t if t.toLowerCase.startsWith("-site:") => negSite = Some(t.drop(6).toLowerCase)
-      case "OR" => orMode = true
-      case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(t.drop(1))
-      case t => pos ++= Text.tokenize(t)
+    // structural token stream for the boolean grammar: terms, OR, ( , )
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    rest.replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").filter(_.nonEmpty).foreach {
+        case t if t.toLowerCase.startsWith("lang:") => lang = Some(t.drop(5).toLowerCase)
+        case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5)) // regexp: keep case
+        case t if t.toLowerCase.startsWith("path:") => path = Some(t.drop(5))
+        case t if t.toLowerCase.startsWith("-lang:") => negLang = Some(t.drop(6).toLowerCase)
+        case t if t.toLowerCase.startsWith("-site:") => negSite = Some(t.drop(6))
+        case t if t.toLowerCase.startsWith("-path:") => negPath = Some(t.drop(6))
+        case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(t.drop(1))
+        case t => toks += t
+      }
+
+    // recursive descent:  expr := group (OR group)* ;  group := atom+ ;
+    // atom := term | '(' expr ')'   — adjacency binds tighter than OR,
+    // so `a b OR c d` is Or(And(a,b), And(c,d)) (dcs alternation-under-
+    // concatenation semantics), not one flat disjunction
+    var pos = 0
+    def parseExpr(): Option[BoolQuery] = {
+      val groups = scala.collection.mutable.ArrayBuffer.empty[BoolQuery]
+      parseGroup().foreach(groups += _)
+      while (pos < toks.length && toks(pos) == "OR") {
+        pos += 1
+        parseGroup().foreach(groups += _)
+      }
+      if (groups.isEmpty) None
+      else if (groups.size == 1) Some(groups.head)
+      else Some(BoolQuery.Or(groups.toSeq))
     }
-    if (orMode) ParsedQuery(Nil, pos.toSeq.distinct, phrases, neg.toSeq, lang, site, negLang, negSite)
-    else ParsedQuery(pos.toSeq.distinct, Nil, phrases, neg.toSeq, lang, site, negLang, negSite)
+    def parseGroup(): Option[BoolQuery] = {
+      val atoms = scala.collection.mutable.ArrayBuffer.empty[BoolQuery]
+      while (pos < toks.length && toks(pos) != "OR" && toks(pos) != ")") {
+        toks(pos) match {
+          case "(" =>
+            pos += 1
+            parseExpr().foreach(atoms += _)
+            if (pos < toks.length && toks(pos) == ")") pos += 1 // tolerate unbalanced
+          case t =>
+            pos += 1
+            Text.tokenize(t).toSeq match {
+              case Seq() => ()
+              case Seq(one) => atoms += BoolQuery.Term(one)
+              case many => atoms += BoolQuery.And(many.map(BoolQuery.Term.apply))
+            }
+        }
+      }
+      if (atoms.isEmpty) None
+      else if (atoms.size == 1) Some(atoms.head)
+      else Some(BoolQuery.And(atoms.toSeq))
+    }
+    val tree = parseExpr()
+
+    def flatTerms(subs: Seq[BoolQuery]): Option[Seq[String]] =
+      if (subs.forall(_.isInstanceOf[BoolQuery.Term]))
+        Some(subs.collect { case BoolQuery.Term(t) => t })
+      else None
+    val base = ParsedQuery(Nil, Nil, phrases, neg.toSeq, lang, site,
+      negLang, negSite, path, negPath)
+    tree match {
+      case None => base
+      case Some(BoolQuery.Term(t)) => base.copy(andTerms = Seq(t))
+      case Some(BoolQuery.And(subs)) if flatTerms(subs).isDefined =>
+        base.copy(andTerms = flatTerms(subs).get.distinct)
+      case Some(BoolQuery.Or(subs)) if flatTerms(subs).isDefined =>
+        base.copy(orTerms = flatTerms(subs).get.distinct)
+      case Some(t) => base.copy(bool = Some(t))
+    }
   }
 }
 
@@ -133,7 +219,8 @@ object QueryRunner {
     val needsRestrict =
       p.phrases.nonEmpty || p.negTerms.nonEmpty || p.lang.nonEmpty ||
         p.site.nonEmpty || p.negLang.nonEmpty || p.negSite.nonEmpty ||
-        p.orTerms.nonEmpty
+        p.path.nonEmpty || p.negPath.nonEmpty ||
+        p.orTerms.nonEmpty || p.bool.nonEmpty
     if (!needsRestrict && p.andTerms.nonEmpty) {
       // pure ranked retrieval fast path: conjunctive scored top-k — the
       // same docs the filtered path below would admit via searchAnd
@@ -158,7 +245,8 @@ object QueryRunner {
 
   private def candidatesOf(spark: SparkSession, idx: BuiltIndex, p: ParsedQuery): DataFrame = {
     var cand: DataFrame =
-      if (p.orTerms.nonEmpty) Search.searchOr(spark, idx, p.orTerms)
+      if (p.bool.nonEmpty) Search.boolSearch(spark, idx, p.bool.get)
+      else if (p.orTerms.nonEmpty) Search.searchOr(spark, idx, p.orTerms)
       else if (p.andTerms.nonEmpty) Search.searchAnd(spark, idx, p.andTerms)
       else null
     p.phrases.foreach { ph =>
@@ -168,15 +256,21 @@ object QueryRunner {
     if (cand == null) cand = idx.docmap.select("docId").toDF()
     if (p.negTerms.nonEmpty)
       cand = cand.join(Search.searchOr(spark, idx, p.negTerms), Seq("docId"), "left_anti")
-    if (p.lang.isEmpty && p.site.isEmpty && p.negLang.isEmpty && p.negSite.isEmpty)
+    if (p.lang.isEmpty && p.site.isEmpty && p.negLang.isEmpty && p.negSite.isEmpty &&
+        p.path.isEmpty && p.negPath.isEmpty)
       return cand.select("docId")
-    val meta = idx.docmap.select(col("docId"), col("lang"),
+    val meta = idx.docmap.select(col("docId"), col("lang"), col("url"),
       regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"))
     var filtered = cand.join(meta, "docId")
     p.lang.foreach(l => filtered = filtered.filter(col("lang") === l))
-    p.site.foreach(s => filtered = filtered.filter(col("host") === s))
+    // site:/path: are REGEXP filters, like dcs's package:/path: keywords
+    // (compiled with regexp.Compile in sourcebackend.go:28-129) — not
+    // exact equality: `site:.*\.example` selects a whole domain family
+    p.site.foreach(s => filtered = filtered.filter(col("host").rlike(s)))
+    p.path.foreach(s => filtered = filtered.filter(col("url").rlike(s)))
     p.negLang.foreach(l => filtered = filtered.filter(col("lang") =!= l))
-    p.negSite.foreach(s => filtered = filtered.filter(col("host") =!= s))
+    p.negSite.foreach(s => filtered = filtered.filter(!col("host").rlike(s)))
+    p.negPath.foreach(s => filtered = filtered.filter(!col("url").rlike(s)))
     filtered.select("docId")
   }
 }

@@ -155,4 +155,37 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.lang.contains("de"))
     assert(p.andTerms == Seq("data", "table"))
   }
+
+  test("nested boolean grammar: parens + mixed AND/OR (dcs alternation)") {
+    import graft.queries.BoolQuery._
+    val p = QueryParser.parse("(data table) OR (dup vector)")
+    assert(p.bool.contains(Or(Seq(And(Seq(Term("data"), Term("table"))),
+      And(Seq(Term("dup"), Term("vector")))))))
+    assert(p.andTerms.isEmpty && p.orTerms.isEmpty)
+    assert(p.scoringTerms == Seq("data", "dup", "table", "vector"))
+    // unparenthesized mixed query: adjacency binds tighter than OR
+    val q = QueryParser.parse("aa bb OR cc dd")
+    assert(q.bool.contains(Or(Seq(And(Seq(Term("aa"), Term("bb"))),
+      And(Seq(Term("cc"), Term("dd")))))))
+    // deeper nesting
+    val d = QueryParser.parse("((aa bb) OR cc) dd")
+    assert(d.bool.contains(And(Seq(
+      Or(Seq(And(Seq(Term("aa"), Term("bb"))), Term("cc"))), Term("dd")))))
+    // flat queries keep the legacy fast-path fields
+    val flat = QueryParser.parse("data table")
+    assert(flat.bool.isEmpty && flat.andTerms == Seq("data", "table"))
+    val flatOr = QueryParser.parse("dup OR vector")
+    assert(flatOr.bool.isEmpty && flatOr.orTerms == Seq("dup", "vector"))
+    // redundant parens around a flat group still classify as flat
+    val fp = QueryParser.parse("(data table)")
+    assert(fp.bool.isEmpty && fp.andTerms == Seq("data", "table"))
+  }
+
+  test("path:/-path: are regexp filters over the url; filters mix with parens") {
+    val p = QueryParser.parse("(aa bb) OR cc lang:de path:docs/.* -path:tmp/")
+    assert(p.lang.contains("de"))
+    assert(p.path.contains("docs/.*"))
+    assert(p.negPath.contains("tmp/"))
+    assert(p.bool.nonEmpty)
+  }
 }

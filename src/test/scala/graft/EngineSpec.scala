@@ -457,6 +457,99 @@ class EngineSpec extends AnyFunSuite {
     assert(after.toSeq == lines.slice(expectIdx + 1, expectIdx + 3).toSeq)
   }
 
+  test("substringNoCase non-ASCII fallback is guarded above maxScanDocs (dcs reject)") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    // non-ASCII fold -> verified scan, allowed below the cap
+    assert(Search.substringNoCase(spark, idx, docsWithIds, "täglich").count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Search.substringNoCase(spark, idx, docsWithIds, "täglich", maxScanDocs = 10)
+    }
+    assert(e.getMessage.contains("rejected"))
+    // the ASCII fold path uses index candidates — unaffected by the cap
+    assert(Search.substringNoCase(spark, idx, docsWithIds, "NEEDLEalpha",
+      maxScanDocs = 10).count() == 1)
+  }
+
+  test("candidate-fed grep and snippet verify far fewer docs than the corpus") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    val audit = spark.sparkContext.longAccumulator("grepCand")
+    val got = Search.grepContextIndexed(spark, idx, docsWithIds, "needleAlpha",
+      ctx = 2, audit = Some(audit)).collect()
+    val want = Search.grepContext(spark, docsWithIds, "needleAlpha", ctx = 2).collect()
+    assert(got.map(_.toString).sorted.toSeq == want.map(_.toString).sorted.toSeq)
+    assert(got.nonEmpty)
+    assert(audit.value > 0 && audit.value < N,
+      s"grep verified ${audit.value} of $N docs — candidates must prune")
+    val audit2 = spark.sparkContext.longAccumulator("snipCand")
+    val snips = Search.fiveLinesIndexed(spark, idx, docsWithIds, "needleAlpha",
+      audit = Some(audit2)).collect()
+    val wantSnips = Search.fiveLines(docsWithIds, "needleAlpha").collect()
+    assert(snips.map(_.toString).sorted.toSeq == wantSnips.map(_.toString).sorted.toSeq)
+    assert(snips.nonEmpty)
+    assert(audit2.value > 0 && audit2.value < N)
+  }
+
+  test("boolSearch evaluates nested AND/OR trees (mixed query semantics)") {
+    import graft.queries.BoolQuery._
+    // (qmarker3 AND the) OR (qmarker7 AND of)
+    val tree = Or(Seq(And(Seq(Term("qmarker3"), Term("the"))),
+      And(Seq(Term("qmarker7"), Term("of")))))
+    val got = Search.boolSearch(spark, idx, tree).as[Long].collect().sorted.toSeq
+    val a = Search.searchAnd(spark, idx, Seq("qmarker3", "the")).as[Long].collect().toSet
+    val b = Search.searchAnd(spark, idx, Seq("qmarker7", "of")).as[Long].collect().toSet
+    assert(got == (a ++ b).toSeq.sorted && got.nonEmpty)
+    // nesting the other way: (qmarker3 OR qmarker7) AND the
+    val tree2 = And(Seq(Or(Seq(Term("qmarker3"), Term("qmarker7"))), Term("the")))
+    val got2 = Search.boolSearch(spark, idx, tree2).as[Long].collect().sorted.toSeq
+    val or37 = Search.searchOr(spark, idx, Seq("qmarker3", "qmarker7")).as[Long].collect().toSet
+    val the = Search.searchOr(spark, idx, Seq("the")).as[Long].collect().toSet
+    assert(got2 == (or37 & the).toSeq.sorted && got2.nonEmpty)
+  }
+
+  test("case-insensitive regexp end-to-end through the trigram index") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    for (pattern <- Seq("(?i)NEEDLE[A-Z]LPHA", "(?i)Data Process(ing|or)")) {
+      val got = Search.regexpSearch(spark, idx, docsWithIds, pattern)
+        .as[Long].collect().sorted.toSeq
+      val p = java.util.regex.Pattern.compile(pattern)
+      val expected = docsWithIds.collect()
+        .filter(r => p.matcher(r.getString(1)).find())
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"pattern $pattern")
+      assert(expected.nonEmpty, s"vacuous pattern $pattern")
+    }
+  }
+
+  test("batch maxscore pruning stays exact at small k (stopword tail)") {
+    val batch = Seq(
+      (0L, Seq("qmarker3", "the", "of", "and")),
+      (1L, Seq("qmarker5", "the", "of")),
+      (2L, Seq("the", "of", "and")))
+    val qdf = spark.createDataFrame(batch).toDF("qid", "terms")
+    for (k <- Seq(1, 2, 3)) {
+      val got = Search.topKBatch(spark, idx, qdf, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+      for ((qid, terms) <- batch) {
+        val want = Search.topK(spark, idx, terms, k).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val g = got.getOrElse(qid, Seq.empty)
+        assert(g.map(_._1) == want.map(_._1), s"k=$k qid=$qid: $g vs $want")
+        g.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+      }
+    }
+  }
+
+  test("topKBatch empty-terms batch returns the full 4-column schema") {
+    val qdf = spark.createDataFrame(Seq((0L, Seq.empty[String]))).toDF("qid", "terms")
+    val r = Search.topKBatch(spark, idx, qdf, 5)
+    assert(r.columns.toSeq == Seq("qid", "docId", "score", "rank"))
+    assert(r.count() == 0)
+  }
+
   test("merge(shards) is equivalent to build(union) — ConcatN property") {
     val all = docs.orderBy("url").collect()
     val third = all.length / 3
