@@ -9,7 +9,8 @@ ROUNDS=${ROUNDS:-8}
 LOG=${LOG:-/tmp/pinned_scaling.log}
 C16=/dev/shm/graft-corpus-1600k
 C32=/dev/shm/graft-corpus-3200k
-export SPARK_GRAFT_JVMOPTS="-Xms8g"   # lazy heap growth spikes mid-run otherwise
+export SPARK_DRIVER_MEM=64g
+export SPARK_GRAFT_JVMOPTS="-Xms64g"   # lazy heap growth spikes mid-run; 8g OOMs and 24g GC-thrashes at 32c x 3.2M docs (single-JVM artifact: a real 4x-executor step brings 4x heaps)
 
 [ -d "$C16" ] || sbt -batch "runMain graft.tools.BuildOnce gen 1600000 $C16" >>"$LOG" 2>&1
 [ -d "$C32" ] || sbt -batch "runMain graft.tools.BuildOnce gen 3200000 $C32" >>"$LOG" 2>&1
@@ -19,7 +20,7 @@ run() { # cores first..last corpus nhigh tag
   local cores=$1 range=$2 corpus=$3 nhigh=$4 tag=$5
   SPARK_GRAFT_NHIGH=$nhigh taskset -c "$range" \
     sbt -batch "runMain graft.tools.BuildOnce $cores $corpus $tag" 2>&1 \
-    | grep -E "total_sec" >>"$LOG"
+    | grep -E "total_sec|stage=" >>"$LOG"
 }
 
 for r in $(seq 1 "$ROUNDS"); do
