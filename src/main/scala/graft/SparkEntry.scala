@@ -97,6 +97,11 @@ object SparkEntry {
   // (Spark rlike) AND RE2 (DuckDB regexp_matches) alike
   val RegexNoCasePattern = "(?i)QU[AE]RY|SC[AO]N"
   val BoolMixedQuery = "(data table) OR (dup vector)"
+  val NearTerms: (String, String) = ("data", "table")
+  val NearWindow = 3
+  val PrefixLit = "s" // expands to scan/slow/small/sort/spark/stream
+  val CooccurTerm = "dup"
+  val GroupQuery = "dup" // per-source result grouping over its matches
   val PathFilterQuery = "dup path:[0-5]$" // urls ending in digits 0-5
   val BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("data", "table")),
@@ -167,6 +172,32 @@ object SparkEntry {
         .select(col("qid"), col("docId").as("docid"),
           round(col("score"), 5).as("score"), col("rank"))
         .orderBy("qid", "rank")
+    }),
+    // J3 extension: NEAR/k proximity over token positions — bounded-gap
+    // positional join (phrase is the window=adjacent special case)
+    "q_near" -> ((s, dir) =>
+      Search.near(s, index(s, dir), NearTerms._1, NearTerms._2, NearWindow)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // wildcard/prefix term query: capped dictionary expansion → one OR
+    "q_prefix" -> ((s, dir) =>
+      Search.prefixSearch(s, index(s, dir), PrefixLit)
+        .select(col("docId").as("docid")).orderBy("docid")),
+    // co-occurrence mining from the encoded index: all-term decode
+    // restricted (in-decode block skip) to the target's posting list
+    "q_cooccur" -> ((s, dir) =>
+      Search.cooccurrence(s, index(s, dir), CooccurTerm, topN = 20)
+        .select(col("term"), col("n_docs"))),
+    // A7: global result count of a conjunctive query
+    "q_count" -> ((s, dir) =>
+      Search.searchAnd(s, index(s, dir), AndTerms)
+        .agg(count(lit(1)).as("n_matches"))),
+    // dcs per-package grouping analogue: per-source match count + best hit
+    "q_result_stats" -> ((s, dir) => {
+      val src = corpus(s, dir).select(col("doc_id").as("docId"), col("source").as("grp"))
+      QueryRunner.groupedResultStats(s, index(s, dir), GroupQuery, src)
+        .select(col("grp").as("source"), col("n_matches"), col("best_docid"),
+          round(col("best_score"), 5).as("best_score"))
+        .orderBy("source")
     }),
     // J3: positional phrase join
     "q_phrase" -> ((s, dir) =>
@@ -583,6 +614,48 @@ object SparkEntry {
          |  round(CAST(sc AS DOUBLE), 5) AS score, rank
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
+    "q_near" ->
+      s"""$P SELECT DISTINCT a.docid AS docid FROM tok a
+         |JOIN tok b ON a.docid = b.docid AND abs(a.pos - b.pos) <= $NearWindow
+         |WHERE a.term = '${NearTerms._1}' AND b.term = '${NearTerms._2}'
+         |ORDER BY docid""".stripMargin,
+    "q_prefix" ->
+      s"""$P SELECT DISTINCT docid FROM tok WHERE term LIKE '$PrefixLit%'
+         |ORDER BY docid""".stripMargin,
+    "q_cooccur" ->
+      s"""$P, target AS (SELECT DISTINCT docid FROM tok WHERE term = '$CooccurTerm'),
+         |co AS (
+         |  SELECT t.term, CAST(count(DISTINCT t.docid) AS BIGINT) AS n_docs
+         |  FROM tok t JOIN target USING (docid)
+         |  WHERE t.term <> '$CooccurTerm' GROUP BY t.term
+         |)
+         |SELECT term, n_docs FROM co
+         |ORDER BY n_docs DESC, term LIMIT 20""".stripMargin,
+    "q_count" ->
+      s"""$P SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
+         |  SELECT docid FROM tok WHERE term IN (${inList(AndTerms)})
+         |  GROUP BY docid HAVING count(DISTINCT term) = ${AndTerms.length})""".stripMargin,
+    "q_result_stats" ->
+      s"""$P, tf AS (
+         |  SELECT term, docid, count(*) AS c FROM tok
+         |  WHERE term IN ('$GroupQuery') GROUP BY 1, 2
+         |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT docid, len(l) AS dl FROM toks),
+         |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ids) AS n,
+         |                 (SELECT avg(len(l)) FROM toks) AS avgdl),
+         |scored AS (
+         |  SELECT docid, sum($bm25Score) AS sc
+         |  FROM tf JOIN dfs USING (term) JOIN dls USING (docid), stats
+         |  GROUP BY docid
+         |), ranked AS (
+         |  SELECT i.source, s.docid, s.sc,
+         |    row_number() OVER (PARTITION BY i.source ORDER BY s.sc DESC, s.docid ASC) AS rn,
+         |    count(*) OVER (PARTITION BY i.source) AS nm
+         |  FROM scored s JOIN ids i USING (docid)
+         |)
+         |SELECT source, CAST(nm AS BIGINT) AS n_matches, docid AS best_docid,
+         |  round(CAST(sc AS DOUBLE), 5) AS best_score
+         |FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin,
     "q_phrase" ->
       s"""$P SELECT DISTINCT a.docid FROM tok a
          |JOIN tok b ON a.docid = b.docid AND b.pos = a.pos + 1

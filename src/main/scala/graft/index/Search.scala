@@ -544,12 +544,30 @@ object Search {
       restrict: DataFrame,
       audit: Option[(org.apache.spark.util.LongAccumulator,
         org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
-    import spark.implicits._
     val sorted = terms.distinct.sorted
+    restrictedBlocksDecode(spark, idx,
+      idx.postings.filter(col("term").isin(sorted: _*)), restrict, audit)
+  }
+
+  /** [[restrictedTfRows]] over EVERY term in the index — the analytics
+    * shape (co-occurrence, per-doc vocabularies) where the term set is
+    * the whole dictionary and only the docid restrict bounds the work.
+    * Same in-decode block skip: for a selective restrict list the job
+    * touches O(matching blocks), not O(index). */
+  def restrictedTfRowsAllTerms(spark: SparkSession, idx: BuiltIndex,
+      restrict: DataFrame,
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame =
+    restrictedBlocksDecode(spark, idx, idx.postings, restrict, audit)
+
+  private def restrictedBlocksDecode(spark: SparkSession, idx: BuiltIndex,
+      blocks: org.apache.spark.sql.Dataset[PostingBlock], restrict: DataFrame,
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)]): DataFrame = {
+    import spark.implicits._
     val dps = idx.meta.docsPerShard
     val rByShard = restrict.select(col("docId")).as[Long]
       .groupByKey(d => (d / dps).toInt)
-    val blocks = idx.postings.filter(col("term").isin(sorted: _*))
     blocks.groupByKey(_.shard).cogroup(rByShard) { (_, blockIt, rIt) =>
       val rs = rIt.toArray
       if (rs.isEmpty) Iterator.empty
@@ -677,6 +695,106 @@ object Search {
         }
       }
       .toDF("docId")
+  }
+
+  /** NEAR/k proximity query — the positional-join generalization of
+    * [[phrase]] (J3): docs where some occurrence of `termA` and some
+    * occurrence of `termB` lie within `window` token positions
+    * (|posA - posB| <= window). dcs verifies adjacency byte-positionally
+    * for literals (`internal/index/read.go:530-676`); NEAR relaxes the
+    * fixed offset to a bounded gap, the classic proximity operator a
+    * full-text engine adds on top of that machinery. Same pushdown as
+    * phrase: docid intersection first, positions decode only for docs
+    * surviving it. */
+  def near(spark: SparkSession, idx: BuiltIndex, termA: String, termB: String,
+      window: Int): DataFrame = {
+    import spark.implicits._
+    require(window >= 0, "window must be non-negative")
+    val uniq = Seq(termA, termB).distinct
+    require(uniq.length == 2, "near() needs two distinct terms")
+    val dps = idx.meta.docsPerShard
+    idx.postings.filter(col("term").isin(uniq: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.toArray.groupBy(_.term)
+        if (byTerm.size < 2) Iterator.empty
+        else {
+          val docLists = uniq.map(t =>
+            byTerm(t).sortBy(_.firstDoc).flatMap(b => Postings.decodeDocsTfs(b, dps)._1))
+          val candidates = docLists.sortBy(_.length).reduce(intersectSorted)
+          if (candidates.isEmpty) Iterator.empty
+          else {
+            val candSet = candidates.toSet
+            val posByTerm: Map[String, Map[Long, Array[Int]]] = uniq.map { t =>
+              t -> byTerm(t).iterator
+                .flatMap(b => Postings.decodePositions(b, dps))
+                .filter { case (d, _) => candSet(d) }
+                .toMap
+            }.toMap
+            candidates.iterator.filter { d =>
+              // merged two-pointer over the two sorted position lists:
+              // O(|pa| + |pb|) min-gap check, no cross product
+              val pa = posByTerm(termA)(d)
+              val pb = posByTerm(termB)(d)
+              var i = 0
+              var j = 0
+              var ok = false
+              while (!ok && i < pa.length && j < pb.length) {
+                val diff = pa(i) - pb(j)
+                if (math.abs(diff) <= window) ok = true
+                else if (diff < 0) i += 1
+                else j += 1
+              }
+              ok
+            }
+          }
+        }
+      }
+      .toDF("docId")
+  }
+
+  /** Prefix (wildcard `pre*`) term query: expand the prefix against the
+    * term dictionary (termstats — the MetaEntry directory analogue,
+    * `internal/index/read.go:161-215`; prefix pushes down to the parquet
+    * scan as StringStartsWith), then ONE posting OR over the expansion.
+    * The expansion is capped like dcs caps unindexable queries
+    * (`cmd/dcs-web/dcs-web.go:98-120`): a degenerate prefix (`a*`) on a
+    * web-scale vocabulary must not explode into a million-term union —
+    * the bounded `limit` below also keeps the driver collect O(cap). */
+  def prefixSearch(spark: SparkSession, idx: BuiltIndex, prefix: String,
+      maxExpand: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(prefix.nonEmpty, "empty prefix would match the whole dictionary")
+    require(maxExpand > 0)
+    val norm = prefix.toLowerCase(java.util.Locale.ROOT)
+    val expanded = idx.termstats
+      .filter(col("term").startsWith(norm))
+      .select(col("term")).as[String]
+      .limit(maxExpand + 1) // bounded collect even for degenerate prefixes
+      .collect()
+    require(expanded.length <= maxExpand,
+      s"prefix '$prefix' expands to more than maxExpand=$maxExpand terms — " +
+        "rejected (dcs-web.go:98-120 semantics); lengthen the prefix")
+    if (expanded.isEmpty) spark.emptyDataset[Long].toDF("docId")
+    else searchOr(spark, idx, expanded.toSeq)
+  }
+
+  /** Doc-level term co-occurrence with `term`, mined from the ENCODED
+    * index: the target's posting list restricts an all-term decode with
+    * the in-decode block skip of [[restrictedTfRows]] (blocks whose
+    * [firstDoc,lastDoc] miss the target's docs never varint-decode), then
+    * one count per co-term. Returns the topN (term, n_docs) pairs under
+    * the deterministic (n_docs DESC, term ASC) order — the "what occurs
+    * together with X" analytics shape a webtext corpus engine serves
+    * straight from its posting lists instead of re-scanning text. */
+  def cooccurrence(spark: SparkSession, idx: BuiltIndex, term: String,
+      topN: Int): DataFrame = {
+    val target = searchAnd(spark, idx, Seq(term))
+    restrictedTfRowsAllTerms(spark, idx, target)
+      .filter(col("term") =!= term)
+      .groupBy("term").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("term").asc)
+      .limit(topN)
   }
 
   /** Literal substring search over the trigram index: conservative trigram

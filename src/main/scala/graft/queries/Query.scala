@@ -237,6 +237,30 @@ object QueryRunner {
       .limit(k)
   }
 
+  /** Per-group result statistics — dcs's per-package result grouping
+    * (`cmd/dcs-web/querymanager.go:104-124` buckets matches by Debian
+    * source package and serves per-package counts + the best hit): for
+    * query `q`, each group's match count, best doc and best score under
+    * the deterministic (score DESC, docId ASC) order. `groups` = one
+    * (docId, grp) row per doc — any dimension: source, host, lang.
+    * One scoring pass + one window over it; the per-group count rides
+    * the same window partition, so no second aggregation job. */
+  def groupedResultStats(spark: SparkSession, idx: BuiltIndex, q: String,
+      groups: DataFrame): DataFrame = {
+    val p = QueryParser.parse(q)
+    val cand = candidatesOf(spark, idx, p)
+    val scored = scoreDocs(spark, idx, p.scoringTerms, Some(cand))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("docId").asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    scored.join(groups, "docId")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(cw))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("n_matches"),
+        col("docId").as("best_docid"), col("score").as("best_score"))
+  }
+
   /** Candidate docIds of a query BEFORE scoring — the posting-evaluation
     * stage on its own (the `posting_nano` half of dcs's replay cost split,
     * `cmd/dcs/replay.go:37-45`). */

@@ -619,6 +619,70 @@ class EngineSpec extends AnyFunSuite {
     dn.foreach(n => assert(n.base == n.shard.toLong * 128))
   }
 
+  test("near finds bounded-gap pairs, matches tokenizer brute force") {
+    val byDoc: Map[Long, Array[(String, Int)]] = pages.collect()
+      .map(p => urlToDocId(p.url) -> Text.tokenizeWithPositions(p.text)).toMap
+    def bruteNear(a: String, b: String, w: Int): Set[Long] =
+      byDoc.collect { case (d, toks) =>
+        val pa = toks.collect { case (t, p) if t == a => p }
+        val pb = toks.collect { case (t, p) if t == b => p }
+        if (pa.exists(x => pb.exists(y => math.abs(x - y) <= w))) Some(d) else None
+      }.flatten.toSet
+    for (w <- Seq(0, 1, 3, 8)) {
+      val got = Search.near(spark, idx, "the", "of", w).as[Long].collect().toSet
+      assert(got == bruteNear("the", "of", w), s"window=$w")
+    }
+    // adjacency (w=1) must admit at least every phrase hit "the of"/"of the"
+    val phraseHits = Search.phrase(spark, idx, Seq("the", "of")).as[Long].collect().toSet
+    assert(phraseHits.subsetOf(Search.near(spark, idx, "the", "of", 1).as[Long].collect().toSet))
+  }
+
+  test("prefix search expands the dictionary and unions postings") {
+    val byDoc: Map[Long, Set[String]] = pages.collect()
+      .map(p => urlToDocId(p.url) -> Text.tokenize(p.text).toSet).toMap
+    val brute = byDoc.collect { case (d, ts) if ts.exists(_.startsWith("qmarker")) => d }.toSet
+    val got = Search.prefixSearch(spark, idx, "qmarker").as[Long].collect().toSet
+    assert(got == brute)
+    // no-hit prefix -> empty, NOT an error
+    assert(Search.prefixSearch(spark, idx, "zzznohit").count() == 0)
+    // expansion above the cap is rejected (qmarker0..9 = 10 terms > 3)
+    val e = intercept[IllegalArgumentException] {
+      Search.prefixSearch(spark, idx, "qmarker", maxExpand = 3)
+    }
+    assert(e.getMessage.contains("maxExpand"))
+  }
+
+  test("cooccurrence counts co-terms over the target's docs exactly") {
+    val byDoc: Map[Long, Set[String]] = pages.collect()
+      .map(p => urlToDocId(p.url) -> Text.tokenize(p.text).toSet).toMap
+    val targetDocs = byDoc.collect { case (d, ts) if ts("qmarker3") => d }.toSet
+    val brute = byDoc.view.filterKeys(targetDocs).values
+      .flatMap(_ - "qmarker3")
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val expected = brute.toSeq.sortBy { case (t, n) => (-n, t) }.take(15)
+    val got = Search.cooccurrence(spark, idx, "qmarker3", topN = 15)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("groupedResultStats: per-group count + best hit under deterministic order") {
+    import graft.queries.QueryRunner
+    val groups = idx.docmap.select(col("docId"), col("lang").as("grp"))
+    val got = QueryRunner.groupedResultStats(spark, idx, "qmarker3", groups)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // brute force: score via the independent scorer, group via docmap
+    val scored = Search.bruteForceTopK(spark, docs
+      .join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text"), Seq("qmarker3"), Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val langOf = idx.docmap.collect().map(d => d.docId -> d.lang).toMap
+    val brute = scored.groupBy { case (d, _) => langOf(d) }.map { case (g, xs) =>
+      val best = xs.minBy { case (d, s) => (-s, d) }
+      (g, xs.length.toLong, best._1)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == brute)
+  }
+
   test("compression: encoded postings much smaller than raw 4-byte ids") {
     val (encoded, rawIds) = idx.postings.collect()
       .map(b => (b.docs.length.toLong + b.tfs.length, b.df * 8L))
