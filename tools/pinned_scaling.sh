@@ -10,7 +10,13 @@ LOG=${LOG:-/tmp/pinned_scaling.log}
 C16=/dev/shm/graft-corpus-1600k
 C32=/dev/shm/graft-corpus-3200k
 export SPARK_DRIVER_MEM=64g
-export SPARK_GRAFT_JVMOPTS="-Xms64g"   # lazy heap growth spikes mid-run; 8g OOMs and 24g GC-thrashes at 32c x 3.2M docs (single-JVM artifact: a real 4x-executor step brings 4x heaps)
+# 8g OOMs and 24g GC-thrashes under ParallelGC at 16c x 1.6M (measured,
+# tools/pinned_matrix.sh) — a single-JVM artifact: a real 4x-executor step
+# brings 4x heaps. AlwaysPreTouch moves the 64 GiB first-touch page
+# zeroing out of the measured run; the throughput collector removes G1's
+# confinement penalty (config A vs B: 16c 31.4s -> 18.9s on the same
+# corpus, same cores).
+export SPARK_GRAFT_JVMOPTS="-Xms64g -XX:+AlwaysPreTouch -XX:+UseParallelGC"
 
 [ -d "$C16" ] || sbt -batch "runMain graft.tools.BuildOnce gen 1600000 $C16" >>"$LOG" 2>&1
 [ -d "$C32" ] || sbt -batch "runMain graft.tools.BuildOnce gen 3200000 $C32" >>"$LOG" 2>&1
