@@ -102,6 +102,11 @@ object SparkEntry {
   val PrefixLit = "s" // expands to scan/slow/small/sort/spark/stream
   val CooccurTerm = "dup"
   val GroupQuery = "dup" // per-source result grouping over its matches
+  val NearQuery = s"${NearTerms._1} NEAR/$NearWindow ${NearTerms._2}"
+  val PrefixQuery = s"$PrefixLit*"
+  val PrefixExpansion = Seq("scan", "slow", "small", "sort", "spark", "stream")
+  val SuffixQuery = "*ow" // expands to row/slow/window
+  val FuzzyQuery = "sow~" // Levenshtein<=1 against the dictionary: row, slow
   val PathFilterQuery = "dup path:[0-5]$" // urls ending in digits 0-5
   val BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("data", "table")),
@@ -191,6 +196,24 @@ object SparkEntry {
     "q_count" -> ((s, dir) =>
       Search.searchAnd(s, index(s, dir), AndTerms)
         .agg(count(lit(1)).as("n_matches"))),
+    // query-language NEAR/k: proximity atom restricts, operands score
+    "q_near_query" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), NearQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // query-language wildcard: `s*` expands against the dictionary;
+    // candidates = union, scoring = disjunctive BM25 over the expansion
+    "q_prefix_query" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), PrefixQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // leading wildcard `*ow`: full-dictionary expansion (endsWith), same
+    // union-candidates + expansion-scored semantics as prefix
+    "q_suffix_query" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), SuffixQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // fuzzy `sow~`: Levenshtein<=1 dictionary expansion (typo tolerance)
+    "q_fuzzy_query" -> ((s, dir) =>
+      QueryRunner.run(s, index(s, dir), FuzzyQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
     // dcs per-package grouping analogue: per-source match count + best hit
     "q_result_stats" -> ((s, dir) => {
       val src = corpus(s, dir).select(col("doc_id").as("docId"), col("source").as("grp"))
@@ -443,9 +466,15 @@ object SparkEntry {
     "ln((n - df + 0.5) / (df + 0.5) + 1.0) * c * 2.2 / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))"
 
   private def bm25Sql(terms: Seq[String], k: Int, restrict: String = ""): String =
+    bm25SqlWhere(s"term IN (${inList(terms)})", k, restrict)
+
+  /** [[bm25Sql]] with an arbitrary term predicate — lets the oracle derive
+    * a wildcard/fuzzy expansion ITSELF (LIKE / levenshtein over the token
+    * dictionary) instead of trusting a precomputed term list. */
+  private def bm25SqlWhere(termsWhere: String, k: Int, restrict: String = ""): String =
     s"""$P, tf AS (
        |  SELECT term, docid, count(*) AS c FROM tok
-       |  WHERE term IN (${inList(terms)}) GROUP BY 1, 2
+       |  WHERE $termsWhere GROUP BY 1, 2
        |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |dls AS (SELECT docid, len(l) AS dl FROM toks),
        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ids) AS n,
@@ -635,6 +664,14 @@ object SparkEntry {
       s"""$P SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
          |  SELECT docid FROM tok WHERE term IN (${inList(AndTerms)})
          |  GROUP BY docid HAVING count(DISTINCT term) = ${AndTerms.length})""".stripMargin,
+    "q_near_query" -> bm25Sql(Seq(NearTerms._1, NearTerms._2), 10,
+      s"""WHERE docid IN (SELECT a.docid FROM tok a
+         |  JOIN tok b ON a.docid = b.docid AND abs(a.pos - b.pos) <= $NearWindow
+         |  WHERE a.term = '${NearTerms._1}' AND b.term = '${NearTerms._2}')""".stripMargin),
+    "q_prefix_query" -> bm25Sql(PrefixExpansion, 10),
+    "q_suffix_query" -> bm25SqlWhere("term LIKE '%ow'", 10),
+    "q_fuzzy_query" -> bm25SqlWhere(
+      "term IN (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'sow') <= 1)", 10),
     "q_result_stats" ->
       s"""$P, tf AS (
          |  SELECT term, docid, count(*) AS c FROM tok

@@ -764,6 +764,17 @@ object Search {
   def prefixSearch(spark: SparkSession, idx: BuiltIndex, prefix: String,
       maxExpand: Int = 1024): DataFrame = {
     import spark.implicits._
+    val expanded = expandPrefix(spark, idx, prefix, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Long].toDF("docId")
+    else searchOr(spark, idx, expanded)
+  }
+
+  /** The dictionary expansion of a prefix wildcard (sorted, capped) —
+    * shared by [[prefixSearch]] and by QueryRunner, which also scores
+    * over the expanded terms. */
+  def expandPrefix(spark: SparkSession, idx: BuiltIndex, prefix: String,
+      maxExpand: Int = 1024): Seq[String] = {
+    import spark.implicits._
     require(prefix.nonEmpty, "empty prefix would match the whole dictionary")
     require(maxExpand > 0)
     val norm = prefix.toLowerCase(java.util.Locale.ROOT)
@@ -775,8 +786,78 @@ object Search {
     require(expanded.length <= maxExpand,
       s"prefix '$prefix' expands to more than maxExpand=$maxExpand terms — " +
         "rejected (dcs-web.go:98-120 semantics); lengthen the prefix")
+    expanded.toSeq.sorted
+  }
+
+  /** Suffix (leading wildcard `*fix`) term query: like [[prefixSearch]]
+    * but anchored at the end of the term. `endsWith` cannot use the
+    * parquet term min/max ordering the way a prefix does, so this is a
+    * full DICTIONARY scan — deliberately acceptable: the dictionary is
+    * O(vocabulary) (~10⁶-10⁷ terms at web scale) while the corpus is
+    * O(docs) (10⁹+); engines needing sublinear suffix lookup add a
+    * reversed-term dictionary (the classic reverse-wildcard trick), which
+    * would slot in as a second termstats sort order without changing this
+    * API. Expansion capped like prefix. */
+  def suffixSearch(spark: SparkSession, idx: BuiltIndex, suffix: String,
+      maxExpand: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val expanded = expandSuffix(spark, idx, suffix, maxExpand)
     if (expanded.isEmpty) spark.emptyDataset[Long].toDF("docId")
-    else searchOr(spark, idx, expanded.toSeq)
+    else searchOr(spark, idx, expanded)
+  }
+
+  /** Dictionary expansion of a suffix wildcard (sorted, capped). */
+  def expandSuffix(spark: SparkSession, idx: BuiltIndex, suffix: String,
+      maxExpand: Int = 1024): Seq[String] = {
+    import spark.implicits._
+    require(suffix.nonEmpty, "empty suffix would match the whole dictionary")
+    require(maxExpand > 0)
+    val norm = suffix.toLowerCase(java.util.Locale.ROOT)
+    val expanded = idx.termstats
+      .filter(col("term").endsWith(norm))
+      .select(col("term")).as[String]
+      .limit(maxExpand + 1)
+      .collect()
+    require(expanded.length <= maxExpand,
+      s"suffix '$suffix' expands to more than maxExpand=$maxExpand terms — " +
+        "rejected (dcs-web.go:98-120 semantics); lengthen the suffix")
+    expanded.toSeq.sorted
+  }
+
+  /** Fuzzy term query (`term~`): expand against the dictionary within
+    * Levenshtein distance `maxDist`, then one posting OR — the classic
+    * typo-tolerant lookup a web search engine layers over the same
+    * machinery as prefix/suffix wildcards. A `length(term)` band prunes
+    * the dictionary scan before the edit-distance compare (distance ≥
+    * length difference), and the whole filter runs as codegen'd Catalyst
+    * expressions over termstats — no UDF. Same dictionary-scan cost
+    * argument as [[suffixSearch]]; same cap. */
+  def fuzzySearch(spark: SparkSession, idx: BuiltIndex, term: String,
+      maxDist: Int = 1, maxExpand: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val expanded = expandFuzzy(spark, idx, term, maxDist, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Long].toDF("docId")
+    else searchOr(spark, idx, expanded)
+  }
+
+  /** Dictionary expansion of a fuzzy term (sorted, capped). */
+  def expandFuzzy(spark: SparkSession, idx: BuiltIndex, term: String,
+      maxDist: Int = 1, maxExpand: Int = 1024): Seq[String] = {
+    import spark.implicits._
+    require(term.nonEmpty, "empty fuzzy term")
+    require(maxDist >= 0 && maxExpand > 0)
+    val norm = term.toLowerCase(java.util.Locale.ROOT)
+    val expanded = idx.termstats
+      .filter(length(col("term"))
+        .between(norm.length - maxDist, norm.length + maxDist))
+      .filter(levenshtein(col("term"), lit(norm)) <= maxDist)
+      .select(col("term")).as[String]
+      .limit(maxExpand + 1)
+      .collect()
+    require(expanded.length <= maxExpand,
+      s"fuzzy '$term~' expands to more than maxExpand=$maxExpand terms — " +
+        "rejected (dcs-web.go:98-120 semantics); tighten maxDist")
+    expanded.toSeq.sorted
   }
 
   /** Doc-level term co-occurrence with `term`, mined from the ENCODED

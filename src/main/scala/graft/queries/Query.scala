@@ -46,11 +46,17 @@ final case class ParsedQuery(
     negSite: Option[String] = None, // -site: (dcs npackage)
     path: Option[String] = None, // regexp over the full url (dcs path:)
     negPath: Option[String] = None, // -path: (dcs npath)
-    bool: Option[BoolQuery] = None) {
+    bool: Option[BoolQuery] = None,
+    nears: Seq[(String, String, Int)] = Nil, // a NEAR/k b proximity atoms
+    prefixes: Seq[String] = Nil, // trailing-star wildcard terms (`pre*`)
+    suffixes: Seq[String] = Nil, // leading-star wildcard terms (`*fix`)
+    fuzzies: Seq[String] = Nil) { // trailing-tilde fuzzy terms (`term~`)
   /** all positive scoring terms, lexicographically sorted (deterministic
-    * score-accumulation order) */
+    * score-accumulation order). Prefix/suffix/fuzzy wildcards expand only
+    * against an index (QueryRunner resolves them); not listed here. */
   def scoringTerms: Seq[String] =
-    (andTerms ++ orTerms ++ phrases.flatten ++ bool.toSeq.flatMap(_.leafTerms))
+    (andTerms ++ orTerms ++ phrases.flatten ++ bool.toSeq.flatMap(_.leafTerms) ++
+      nears.flatMap(n => Seq(n._1, n._2)))
       .distinct.sorted
 }
 
@@ -80,6 +86,52 @@ object QueryParser {
         case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(t.drop(1))
         case t => toks += t
       }
+
+    // proximity atoms: `a NEAR/k b` (uppercase NEAR, like the OR keyword)
+    // — extracted from the token stream before the boolean grammar runs,
+    // the same way quoted phrases were lifted out above; both operand
+    // terms join the scoring set via ParsedQuery.scoringTerms
+    val nears = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+    val nearRe = "NEAR/(\\d+)".r
+    var ti = 0
+    while (ti < toks.length) {
+      toks(ti) match {
+        case nearRe(k) if ti > 0 && ti + 1 < toks.length =>
+          (Text.tokenize(toks(ti - 1)).toSeq, Text.tokenize(toks(ti + 1)).toSeq) match {
+            case (Seq(a), Seq(b)) if a != b =>
+              nears += ((a, b, k.toInt))
+              toks.remove(ti - 1, 3)
+              ti -= 1
+            case _ => ti += 1 // malformed operands: leave as plain tokens
+          }
+        case _ => ti += 1
+      }
+    }
+    // wildcard/fuzzy atoms — resolved against the index's term dictionary
+    // at run time: `pre*` (Search.prefixSearch), `*fix`
+    // (Search.suffixSearch), `term~` (Search.fuzzySearch)
+    val prefixes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val suffixes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fuzzies = scala.collection.mutable.ArrayBuffer.empty[String]
+    def liftAtom(stripped: String,
+        into: scala.collection.mutable.ArrayBuffer[String]): Boolean =
+      Text.tokenize(stripped).toSeq match {
+        case Seq(one) => into += one; true
+        case _ => false
+      }
+    ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      val lifted =
+        if (t.length > 1 && t.endsWith("*") && !t.startsWith("("))
+          liftAtom(t.dropRight(1), prefixes)
+        else if (t.length > 1 && t.startsWith("*") && !t.endsWith(")"))
+          liftAtom(t.drop(1), suffixes)
+        else if (t.length > 1 && t.endsWith("~") && !t.startsWith("("))
+          liftAtom(t.dropRight(1), fuzzies)
+        else false
+      if (lifted) toks.remove(ti) else ti += 1
+    }
 
     // recursive descent:  expr := group (OR group)* ;  group := atom+ ;
     // atom := term | '(' expr ')'   — adjacency binds tighter than OR,
@@ -125,7 +177,9 @@ object QueryParser {
         Some(subs.collect { case BoolQuery.Term(t) => t })
       else None
     val base = ParsedQuery(Nil, Nil, phrases, neg.toSeq, lang, site,
-      negLang, negSite, path, negPath)
+      negLang, negSite, path, negPath,
+      nears = nears.toSeq, prefixes = prefixes.toSeq,
+      suffixes = suffixes.toSeq, fuzzies = fuzzies.toSeq)
     tree match {
       case None => base
       case Some(BoolQuery.Term(t)) => base.copy(andTerms = Seq(t))
@@ -220,7 +274,9 @@ object QueryRunner {
       p.phrases.nonEmpty || p.negTerms.nonEmpty || p.lang.nonEmpty ||
         p.site.nonEmpty || p.negLang.nonEmpty || p.negSite.nonEmpty ||
         p.path.nonEmpty || p.negPath.nonEmpty ||
-        p.orTerms.nonEmpty || p.bool.nonEmpty
+        p.orTerms.nonEmpty || p.bool.nonEmpty ||
+        p.nears.nonEmpty || p.prefixes.nonEmpty ||
+        p.suffixes.nonEmpty || p.fuzzies.nonEmpty
     if (!needsRestrict && p.andTerms.nonEmpty) {
       // pure ranked retrieval fast path: conjunctive scored top-k — the
       // same docs the filtered path below would admit via searchAnd
@@ -230,7 +286,14 @@ object QueryRunner {
         .orderBy(col("score").desc, col("docId").asc)
     }
     val candidates = candidatesOf(spark, idx, p)
-    val scored = scoreDocs(spark, idx, p.scoringTerms, Some(candidates))
+    // wildcard/fuzzy atoms score over their dictionary expansion: a doc
+    // hit by `spark` AND one hit by `scan` both accumulate their matches
+    val scoring = (p.scoringTerms ++
+      p.prefixes.flatMap(pre => Search.expandPrefix(spark, idx, pre)) ++
+      p.suffixes.flatMap(suf => Search.expandSuffix(spark, idx, suf)) ++
+      p.fuzzies.flatMap(fz => Search.expandFuzzy(spark, idx, fz)))
+      .distinct.sorted
+    val scored = scoreDocs(spark, idx, scoring, Some(candidates))
     scored.join(idx.docmap.select("docId", "url"), "docId")
       .select("docId", "url", "score")
       .orderBy(col("score").desc, col("docId").asc)
@@ -275,6 +338,22 @@ object QueryRunner {
       else null
     p.phrases.foreach { ph =>
       val m = Search.phrase(spark, idx, ph)
+      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
+    }
+    p.nears.foreach { case (a, b, w) =>
+      val m = Search.near(spark, idx, a, b, w)
+      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
+    }
+    p.prefixes.foreach { pre =>
+      val m = Search.prefixSearch(spark, idx, pre)
+      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
+    }
+    p.suffixes.foreach { suf =>
+      val m = Search.suffixSearch(spark, idx, suf)
+      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
+    }
+    p.fuzzies.foreach { fz =>
+      val m = Search.fuzzySearch(spark, idx, fz)
       cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
     }
     if (cand == null) cand = idx.docmap.select("docId").toDF()

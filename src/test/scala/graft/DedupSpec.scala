@@ -181,6 +181,46 @@ class QueryParserSpec extends AnyFunSuite {
     assert(fp.bool.isEmpty && fp.andTerms == Seq("data", "table"))
   }
 
+  test("NEAR/k proximity atoms lift out of the token stream") {
+    val p = QueryParser.parse("data NEAR/3 table")
+    assert(p.nears == Seq(("data", "table", 3)))
+    assert(p.andTerms.isEmpty && p.bool.isEmpty)
+    assert(p.scoringTerms == Seq("data", "table"))
+    // NEAR combines with plain terms; both restrict, all score
+    val q = QueryParser.parse("fast data NEAR/2 table")
+    assert(q.nears == Seq(("data", "table", 2)))
+    assert(q.andTerms == Seq("fast"))
+    assert(q.scoringTerms == Seq("data", "fast", "table"))
+    // malformed (dangling) NEAR stays plain tokens ('near', '3')
+    val m = QueryParser.parse("NEAR/3 table")
+    assert(m.nears.isEmpty && m.scoringTerms == Seq("3", "near", "table"))
+  }
+
+  test("trailing-star wildcards become prefix atoms") {
+    val p = QueryParser.parse("s* dup")
+    assert(p.prefixes == Seq("s"))
+    assert(p.andTerms == Seq("dup"))
+    // scoringTerms excludes the unexpanded prefix (runner expands it)
+    assert(p.scoringTerms == Seq("dup"))
+    val only = QueryParser.parse("qmark*")
+    assert(only.prefixes == Seq("qmark") && only.andTerms.isEmpty)
+  }
+
+  test("leading-star and trailing-tilde become suffix/fuzzy atoms") {
+    val p = QueryParser.parse("*ow dup")
+    assert(p.suffixes == Seq("ow") && p.andTerms == Seq("dup"))
+    assert(p.scoringTerms == Seq("dup")) // runner expands the wildcard
+    val f = QueryParser.parse("sow~ fast")
+    assert(f.fuzzies == Seq("sow") && f.andTerms == Seq("fast"))
+    assert(f.scoringTerms == Seq("fast"))
+    // all three wildcard kinds coexist; bare `*` / `~` stay inert
+    val m = QueryParser.parse("pre* *fix typo~ plain")
+    assert(m.prefixes == Seq("pre") && m.suffixes == Seq("fix") &&
+      m.fuzzies == Seq("typo") && m.andTerms == Seq("plain"))
+    val inert = QueryParser.parse("* ~ plain")
+    assert(inert.prefixes.isEmpty && inert.suffixes.isEmpty && inert.fuzzies.isEmpty)
+  }
+
   test("path:/-path: are regexp filters over the url; filters mix with parens") {
     val p = QueryParser.parse("(aa bb) OR cc lang:de path:docs/.* -path:tmp/")
     assert(p.lang.contains("de"))

@@ -665,6 +665,53 @@ class EngineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("query language: NEAR/k and prefix wildcards run end-to-end") {
+    import graft.queries.QueryRunner
+    // NEAR restricts to the proximity candidates, scores both operands
+    val nearDocs = Search.near(spark, idx, "the", "of", 2).as[Long].collect().toSet
+    val ran = QueryRunner.run(spark, idx, "the NEAR/2 of", 1000)
+      .select("docId").as[Long].collect().toSet
+    assert(ran == nearDocs)
+    // wildcard: candidates = union of the expansion's postings
+    val expandDocs = Search.prefixSearch(spark, idx, "qmarker").as[Long].collect().toSet
+    val ranP = QueryRunner.run(spark, idx, "qmarker*", 1000)
+      .select("docId").as[Long].collect().toSet
+    assert(ranP == expandDocs)
+    // and the wildcard's scores equal disjunctive scoring over the expansion
+    val terms = Search.expandPrefix(spark, idx, "qmarker")
+    val viaOr = QueryRunner.scoreDocs(spark, idx, terms,
+      Some(Search.prefixSearch(spark, idx, "qmarker")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    QueryRunner.run(spark, idx, "qmarker*", 1000)
+      .select("docId", "score").collect()
+      .foreach(r => assert(math.abs(viaOr(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("query language: suffix and fuzzy wildcards run end-to-end") {
+    import graft.queries.QueryRunner
+    // dictionary expansions against the spec corpus: only the planted
+    // markers contain digits, so both expansions are exactly known
+    assert(Search.expandSuffix(spark, idx, "r0") == Seq("qmarker0"))
+    assert(Search.expandFuzzy(spark, idx, "qmarker0") ==
+      (0 to 9).map(k => s"qmarker$k"))
+    // suffix: candidates = union of the expansion's postings
+    val sufDocs = Search.suffixSearch(spark, idx, "r0").as[Long].collect().toSet
+    assert(sufDocs ==
+      Search.searchOr(spark, idx, Seq("qmarker0")).as[Long].collect().toSet)
+    assert(sufDocs.nonEmpty)
+    val ranS = QueryRunner.run(spark, idx, "*r0", 100000)
+      .select("docId").as[Long].collect().toSet
+    assert(ranS == sufDocs)
+    // fuzzy: one edit reaches every marker digit
+    val fuzDocs = Search.fuzzySearch(spark, idx, "qmarker0").as[Long].collect().toSet
+    val orDocs = Search.searchOr(spark, idx, (0 to 9).map(k => s"qmarker$k"))
+      .as[Long].collect().toSet
+    assert(fuzDocs == orDocs && fuzDocs.nonEmpty)
+    val ranF = QueryRunner.run(spark, idx, "qmarker0~", 100000)
+      .select("docId").as[Long].collect().toSet
+    assert(ranF == fuzDocs)
+  }
+
   test("groupedResultStats: per-group count + best hit under deterministic order") {
     import graft.queries.QueryRunner
     val groups = idx.docmap.select(col("docId"), col("lang").as("grp"))
