@@ -650,6 +650,20 @@ class EngineSpec extends AnyFunSuite {
       Search.prefixSearch(spark, idx, "qmarker", maxExpand = 3)
     }
     assert(e.getMessage.contains("maxExpand"))
+    // the same cap guards suffix and fuzzy expansion (a degenerate
+    // one-letter suffix hits many syllable terms; one edit from
+    // "qmarker0" reaches all ten markers)
+    val es = intercept[IllegalArgumentException] {
+      Search.suffixSearch(spark, idx, "a", maxExpand = 3)
+    }
+    assert(es.getMessage.contains("maxExpand"))
+    val ef = intercept[IllegalArgumentException] {
+      Search.fuzzySearch(spark, idx, "qmarker0", maxDist = 1, maxExpand = 3)
+    }
+    assert(ef.getMessage.contains("maxExpand"))
+    // no-hit suffix/fuzzy -> empty, NOT an error
+    assert(Search.suffixSearch(spark, idx, "zzznohit").count() == 0)
+    assert(Search.fuzzySearch(spark, idx, "zzznohitzzz").count() == 0)
   }
 
   test("cooccurrence counts co-terms over the target's docs exactly") {
