@@ -107,6 +107,7 @@ object SparkEntry {
   val PrefixExpansion = Seq("scan", "slow", "small", "sort", "spark", "stream")
   val SuffixQuery = "*ow" // expands to row/slow/window
   val FuzzyQuery = "sow~" // Levenshtein<=1 against the dictionary: row, slow
+  val SuggestSeed = "kay" // corrections: key (dist 1), a (dist 2)
   val PathFilterQuery = "dup path:[0-5]$" // urls ending in digits 0-5
   val BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("data", "table")),
@@ -214,6 +215,9 @@ object SparkEntry {
     "q_fuzzy_query" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), FuzzyQuery, 10)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // spell suggestion: dictionary terms ranked (dist ASC, df DESC)
+    "q_suggest" -> ((s, dir) =>
+      Search.suggest(s, index(s, dir), SuggestSeed, maxDist = 2, k = 5)),
     // dcs per-package grouping analogue: per-source match count + best hit
     "q_result_stats" -> ((s, dir) => {
       val src = corpus(s, dir).select(col("doc_id").as("docId"), col("source").as("grp"))
@@ -672,6 +676,13 @@ object SparkEntry {
     "q_suffix_query" -> bm25SqlWhere("term LIKE '%ow'", 10),
     "q_fuzzy_query" -> bm25SqlWhere(
       "term IN (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'sow') <= 1)", 10),
+    "q_suggest" ->
+      s"""$P SELECT term, CAST(levenshtein(term, 'kay') AS INT) AS dist,
+         |  count(DISTINCT docid) AS df
+         |FROM tok GROUP BY term
+         |HAVING levenshtein(term, 'kay') <= 2
+         |ORDER BY dist ASC, df DESC, term ASC
+         |LIMIT 5""".stripMargin,
     "q_result_stats" ->
       s"""$P, tf AS (
          |  SELECT term, docid, count(*) AS c FROM tok

@@ -840,6 +840,28 @@ object Search {
     else searchOr(spark, idx, expanded)
   }
 
+  /** Spell suggestion ("did you mean") for a query term that returned
+    * nothing: dictionary terms within Levenshtein distance `maxDist`,
+    * ranked (dist ASC, df DESC, term ASC) — closest first, popularity
+    * as tiebreak, the standard correction order. Pure dictionary scan
+    * like [[expandFuzzy]] (same length-band prune, same O(vocabulary)
+    * cost argument); df comes free from termstats, so no posting is
+    * touched. Returns (term, dist, df) rows, top `k`. */
+  def suggest(spark: SparkSession, idx: BuiltIndex, term: String,
+      maxDist: Int = 2, k: Int = 5): DataFrame = {
+    require(term.nonEmpty, "empty suggestion seed")
+    require(maxDist >= 0 && k > 0)
+    val norm = term.toLowerCase(java.util.Locale.ROOT)
+    idx.termstats.toDF()
+      .filter(length(col("term"))
+        .between(norm.length - maxDist, norm.length + maxDist))
+      .withColumn("dist", levenshtein(col("term"), lit(norm)))
+      .filter(col("dist") <= maxDist)
+      .select(col("term"), col("dist"), col("df"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Dictionary expansion of a fuzzy term (sorted, capped). */
   def expandFuzzy(spark: SparkSession, idx: BuiltIndex, term: String,
       maxDist: Int = 1, maxExpand: Int = 1024): Seq[String] = {

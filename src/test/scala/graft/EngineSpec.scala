@@ -726,6 +726,23 @@ class EngineSpec extends AnyFunSuite {
     assert(ranF == fuzDocs)
   }
 
+  test("suggest ranks dictionary corrections by distance then df") {
+    val got = Search.suggest(spark, idx, "qmarker0", maxDist = 1, k = 20)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // the seed itself is the closest correction (dist 0), then the other
+    // nine markers at dist 1
+    assert(got.head._1 == "qmarker0" && got.head._2 == 0)
+    assert(got.map(_._1).toSet == (0 to 9).map(i => s"qmarker$i").toSet)
+    val dfs = idx.termstats.filter(col("term").startsWith("qmarker"))
+      .collect().map(t => t.term -> t.df).toMap
+    got.foreach { case (t, d, f) =>
+      assert(f == dfs(t))
+      assert(d == (if (t == "qmarker0") 0 else 1))
+    }
+    // full deterministic order: (dist ASC, df DESC, term ASC)
+    assert(got.toSeq == got.sortBy { case (t, d, f) => (d, -f, t) }.toSeq)
+  }
+
   test("groupedResultStats: per-group count + best hit under deterministic order") {
     import graft.queries.QueryRunner
     val groups = idx.docmap.select(col("docId"), col("lang").as("grp"))
