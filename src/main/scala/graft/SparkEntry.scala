@@ -108,6 +108,8 @@ object SparkEntry {
   val SuffixQuery = "*ow" // expands to row/slow/window
   val FuzzyQuery = "sow~" // Levenshtein<=1 against the dictionary: row, slow
   val SuggestSeed = "kay" // corrections: key (dist 1), a (dist 2)
+  val MltSeedDoc = 42L // more-like-this seed; term rank is all-integer
+  val MltTerms = 3
   val PathFilterQuery = "dup path:[0-5]$" // urls ending in digits 0-5
   val BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("data", "table")),
@@ -218,6 +220,11 @@ object SparkEntry {
     // spell suggestion: dictionary terms ranked (dist ASC, df DESC)
     "q_suggest" -> ((s, dir) =>
       Search.suggest(s, index(s, dir), SuggestSeed, maxDist = 2, k = 5)),
+    // more-like-this: seed doc's top terms (tf DESC, df ASC, term ASC —
+    // integer rank) -> disjunctive BM25 top-k excluding the seed
+    "q_more_like_this" -> ((s, dir) =>
+      Search.moreLikeThis(s, index(s, dir), MltSeedDoc, MltTerms, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
     // dcs per-package grouping analogue: per-source match count + best hit
     "q_result_stats" -> ((s, dir) => {
       val src = corpus(s, dir).select(col("doc_id").as("docId"), col("source").as("grp"))
@@ -683,6 +690,14 @@ object SparkEntry {
          |HAVING levenshtein(term, 'kay') <= 2
          |ORDER BY dist ASC, df DESC, term ASC
          |LIMIT 5""".stripMargin,
+    "q_more_like_this" -> bm25SqlWhere(
+      s"""term IN (SELECT u.term
+         |  FROM (SELECT term, count(*) AS stf FROM tok
+         |        WHERE docid = $MltSeedDoc GROUP BY 1) u
+         |  JOIN (SELECT term, count(DISTINCT docid) AS sdf FROM tok
+         |        GROUP BY 1) v USING (term)
+         |  ORDER BY u.stf DESC, v.sdf ASC, u.term ASC LIMIT $MltTerms)""".stripMargin,
+      10, s"WHERE docid <> $MltSeedDoc"),
     "q_result_stats" ->
       s"""$P, tf AS (
          |  SELECT term, docid, count(*) AS c FROM tok

@@ -900,6 +900,33 @@ object Search {
       .limit(topN)
   }
 
+  /** More-like-this (relevance feedback): the seed doc's most
+    * representative terms — ranked tf DESC, df ASC (rarer wins), term
+    * ASC; an ALL-INTEGER rank, deliberately, so the DuckDB oracle can
+    * reproduce the term cut without cross-engine float-ulp risk — feed a
+    * disjunctive BM25 top-k that excludes the seed itself. The seed's
+    * term vector comes from the ENCODED index via the in-decode restrict
+    * (only posting blocks whose [firstDoc,lastDoc] contain the seed
+    * decode), df rides in from termstats; document text is never
+    * re-scanned. The driver-side collect is O(nTerms). */
+  def moreLikeThis(spark: SparkSession, idx: BuiltIndex, docId: Long,
+      nTerms: Int = 3, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(nTerms > 0 && k > 0)
+    val seed = spark.range(1).select(lit(docId).as("docId"))
+    val vec = restrictedTfRowsAllTerms(spark, idx, seed)
+      .join(idx.termstats.toDF().select(col("term"), col("df")), "term")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      .limit(nTerms)
+      .select("term").as[String].collect().toSeq
+    if (vec.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+    topK(spark, idx, vec, k + 1)
+      .filter(col("docId") =!= docId)
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
   /** Literal substring search over the trigram index: conservative trigram
     * AND (first+last positional refinement, mirroring the reference's
     * positional fast path `internal/index/read.go:530-676`) then exact

@@ -743,6 +743,22 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == got.sortBy { case (t, d, f) => (d, -f, t) }.toSeq)
   }
 
+  test("moreLikeThis: seed vector from the index, integer rank, seed excluded") {
+    val seed = 137L
+    val text = pages.collect().find(p => urlToDocId(p.url) == seed).get.text
+    val tfs = Text.tokenize(text).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val dfs = idx.termstats.collect().map(t => t.term -> t.df).toMap
+    val expectedVec = tfs.toSeq
+      .sortBy { case (t, tf) => (-tf, dfs(t), t) }.take(3).map(_._1)
+    val got = Search.moreLikeThis(spark, idx, seed, nTerms = 3, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(!got.map(_._1).contains(seed))
+    val expected = Search.topK(spark, idx, expectedVec, 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filterNot(_._1 == seed).take(15)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("groupedResultStats: per-group count + best hit under deterministic order") {
     import graft.queries.QueryRunner
     val groups = idx.docmap.select(col("docId"), col("lang").as("grp"))
