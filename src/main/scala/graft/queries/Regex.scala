@@ -12,7 +12,10 @@ object Regex {
   case object Empty extends Node
   case object NoMatch extends Node
   case object AnyChar extends Node
-  case object Anchor extends Node // ^ $ \b \B \A \z — zero-width
+  /** ^ $ \b \B \A \z — zero-width assertion; `kind` is the anchor char
+    * ('^' '$' 'b' 'B' 'A' 'z') so [[Matcher]] can evaluate it (the
+    * trigram compiler only needs zero-width-ness). */
+  final case class Anchor(kind: Char) extends Node
   final case class Lit(s: String, foldCase: Boolean) extends Node
   final case class Cls(ranges: Vector[(Char, Char)], negated: Boolean) extends Node
   final case class Cat(subs: Vector[Node]) extends Node
@@ -26,9 +29,18 @@ object Regex {
 
   def parse(pattern: String): Node = new Parser(pattern).parseTop()
 
+  /** Parse plus the (?s) dotAll flag — [[Matcher]] needs it to decide
+    * whether '.' crosses line terminators. */
+  def parseWithFlags(pattern: String): (Node, Boolean) = {
+    val p = new Parser(pattern)
+    val n = p.parseTop()
+    (n, p.dotAllFlag)
+  }
+
   private final class Parser(s: String) {
     private var pos = 0
     private var foldCase = false
+    private[Regex] var dotAllFlag = false
 
     def parseTop(): Node = {
       val n = parseAlt()
@@ -72,7 +84,7 @@ object Regex {
             flushLit()
             subs += parseClass()
           case '.' => flushLit(); subs += AnyChar; pos += 1
-          case '^' | '$' => flushLit(); subs += Anchor; pos += 1
+          case a @ ('^' | '$') => flushLit(); subs += Anchor(a); pos += 1
           case '*' => val a = flushLastForRepeat(); subs += Star(a); pos += 1
           case '+' => val a = flushLastForRepeat(); subs += Plus(a); pos += 1
           case '?' => val a = flushLastForRepeat(); subs += Quest(a); pos += 1
@@ -99,7 +111,7 @@ object Regex {
             pos += 1
             if (pos >= s.length) throw ParseError("trailing backslash")
             s.charAt(pos) match {
-              case 'b' | 'B' | 'A' | 'z' => flushLit(); subs += Anchor; pos += 1
+              case a @ ('b' | 'B' | 'A' | 'z') => flushLit(); subs += Anchor(a); pos += 1
               case 'd' => flushLit(); subs += Cls(Vector(('0', '9')), negated = false); pos += 1
               case 'D' => flushLit(); subs += Cls(Vector(('0', '9')), negated = true); pos += 1
               case 'w' => flushLit(); subs += wordCls; pos += 1
@@ -109,6 +121,10 @@ object Regex {
               case 'n' => lit.append('\n'); pos += 1
               case 't' => lit.append('\t'); pos += 1
               case 'r' => lit.append('\r'); pos += 1
+              case 'a' => lit.append('\u0007'); pos += 1
+              case 'f' => lit.append('\f'); pos += 1
+              case 'v' => lit.append('\u000b'); pos += 1
+              case 'x' => lit.append(hexEscape()); pos += 1
               case c => lit.append(c); pos += 1
             }
           case c => lit.append(c); pos += 1
@@ -123,11 +139,22 @@ object Regex {
     private val wordCls = Cls(Vector(('0', '9'), ('A', 'Z'), ('_', '_'), ('a', 'z')), negated = false)
     private val spaceCls = Cls(Vector(('\t', '\n'), ('\f', '\r'), (' ', ' ')), negated = false)
 
+    /** \xHH — pos points at 'x' on entry and at the last hex digit on
+      * exit (the caller advances past it). */
+    private def hexEscape(): Char = {
+      if (pos + 2 >= s.length) throw ParseError("truncated \\x escape")
+      val h = s.substring(pos + 1, pos + 3)
+      val v = try Integer.parseInt(h, 16)
+      catch { case _: NumberFormatException => throw ParseError(s"bad \\x$h") }
+      pos += 2
+      v.toChar
+    }
+
     private def parseGroup(): Node = {
       pos += 1 // consume '('
       if (s.startsWith("?:", pos)) pos += 2
       else if (s.startsWith("?i)", pos)) { foldCase = true; pos += 3; return Empty }
-      else if (s.startsWith("?s)", pos)) { pos += 3; return Empty }
+      else if (s.startsWith("?s)", pos)) { dotAllFlag = true; pos += 3; return Empty }
       val n = parseAlt()
       if (pos >= s.length || s.charAt(pos) != ')') throw ParseError("missing )")
       pos += 1
@@ -154,6 +181,11 @@ object Regex {
             case 'D' | 'W' => ranges += ((Char.MinValue, Char.MaxValue)); pos += 1; lo = 0
             case 'n' => lo = '\n'; pos += 1
             case 't' => lo = '\t'; pos += 1
+            case 'r' => lo = '\r'; pos += 1
+            case 'a' => lo = '\u0007'; pos += 1
+            case 'f' => lo = '\f'; pos += 1
+            case 'v' => lo = '\u000b'; pos += 1
+            case 'x' => lo = hexEscape(); pos += 1
             case c => lo = c; pos += 1
           }
           if (lo == 0) { /* meta class consumed */ }

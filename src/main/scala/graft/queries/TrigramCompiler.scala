@@ -39,7 +39,7 @@ object TrigramCompiler {
   def analyze(re: R.Node): Info = {
     val info = re match {
       case R.NoMatch => return noMatch
-      case R.Empty | R.Anchor => return emptyString
+      case R.Empty | R.Anchor(_) => return emptyString
       case R.Lit(s, fold) =>
         if (fold) {
           if (s.isEmpty) return emptyString

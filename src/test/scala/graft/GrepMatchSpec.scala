@@ -130,6 +130,55 @@ class GrepMatchSpec extends AnyFunSuite {
     assert(failures.isEmpty, "\n" + failures.mkString("\n"))
   }
 
+  /** the goldens again through the ENGINE's verifier (linear-time NFA,
+    * step-bounded fallback for exotic syntax) — the verification stage
+    * must agree with java.util.regex `find` on every reference case. */
+  private def grepLinesVerifier(pattern: String, s: String): Seq[Int] = {
+    val v = new graft.queries.RegexVerifier(pattern)
+    s.split("\n").toSeq.zipWithIndex.collect {
+      case (line, i) if v.find(line) => i + 1
+    }
+  }
+
+  test("RegexVerifier matches every golden (NFA + fallback paths)") {
+    val failures = cases.zipWithIndex.flatMap { case ((re, s, want), i) =>
+      val got =
+        try grepLinesVerifier(re, s)
+        catch { case e: Exception => Seq(-999) }
+      val linear = graft.queries.Matcher.tryCompile(re).nonEmpty
+      if (got == want) None
+      else Some(s"  case#$i /$re/ (linear=$linear) on " +
+        s"${s.replace("\n", "\\n")}: got=$got want=$want")
+    }
+    assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+    // the practical subset really takes the linear path, not the fallback
+    val linearCount = cases.count(c => graft.queries.Matcher.tryCompile(c._1).nonEmpty)
+    assert(linearCount >= cases.length - 6,
+      s"only $linearCount/${cases.length} goldens compile to the NFA")
+  }
+
+  test("pathological backtracking patterns complete in bounded time") {
+    // (a+)+$ on a long non-matching input: exponential for a backtracker,
+    // linear for the NFA — the dcs DFA robustness property (match.go:21)
+    val evil = "(a+)+$"
+    assert(graft.queries.Matcher.tryCompile(evil).nonEmpty, "evil pattern must take the NFA path")
+    val v = new graft.queries.RegexVerifier(evil)
+    val input = "a" * 20000 + "b"
+    val t0 = System.nanoTime()
+    assert(!v.find(input))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"linear-time match took ${ms}ms")
+    // nested quantifier variant
+    val v2 = new graft.queries.RegexVerifier("(a*)*c")
+    assert(!v2.find("a" * 20000 + "b"))
+    assert(v2.find("a" * 100 + "c"))
+    // the non-linear FALLBACK path is step-bounded: same bomb forced
+    // through java.util.regex (via an unsupported flag) aborts cleanly
+    val fb = new graft.queries.RegexVerifier("(?m)(a+)+$")
+    assert(!fb.isLinear)
+    intercept[IllegalStateException] { fb.find("a" * 2000 + "b") }
+  }
+
   test("grepContext agrees with the line goldens (reference grepTests)") {
     val spark = TestSpark.spark
     val df = spark.createDataFrame(Seq(
