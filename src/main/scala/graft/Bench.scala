@@ -43,7 +43,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "index_build" -> tBuild)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts to a subset (targeted scale runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       results(name) = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

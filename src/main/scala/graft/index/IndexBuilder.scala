@@ -17,11 +17,19 @@ final case class BuiltIndex(
     docnorms: Dataset[DocNorms],
     postings: Dataset[PostingBlock],
     trigrams: Option[Dataset[TriBlock]],
-    termstats: Dataset[TermStats]) {
+    termstats: Dataset[TermStats],
+    /** Reversed-term dictionary (rev = reverse(term), globally sorted by
+      * rev on disk) — the classic reverse-wildcard trick: a suffix
+      * wildcard `*fix` becomes a PREFIX range on `rev`, which pushes down
+      * to the parquet scan as StringStartsWith and prunes files/row
+      * groups via the rev min/max stats, exactly like [[Search.expandPrefix]]
+      * on the forward dictionary. None on in-memory builds (suffix falls
+      * back to the documented O(vocabulary) dictionary scan). */
+    revdict: Option[DataFrame] = None) {
 
   def cache(): BuiltIndex = {
     docmap.cache(); docnorms.cache(); postings.cache(); termstats.cache()
-    trigrams.foreach(_.cache())
+    trigrams.foreach(_.cache()); revdict.foreach(_.cache())
     this
   }
 }
@@ -540,10 +548,57 @@ object IndexBuilder {
   private def stageDone(dir: String, stage: String): Boolean =
     new java.io.File(s"$dir/_COMMITTED_$stage").exists()
 
-  private def commitStage(dir: String, stage: String): Unit =
+  /** Commit marker. `parts >= 0` records how many lineage sidecars the
+    * stage is expected to have written (one per task), making the build
+    * auditable at load time ([[validateLineage]]). Legacy markers hold a
+    * bare timestamp; both forms are accepted by readers. */
+  private def commitStage(dir: String, stage: String, parts: Int = -1): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/_COMMITTED_$stage"),
-      System.currentTimeMillis().toString)
+      s"""{"ts":${System.currentTimeMillis()},"parts":$parts}""")
+
+  private def committedParts(dir: String, stage: String): Int = {
+    val f = new java.io.File(s"$dir/_COMMITTED_$stage")
+    if (!f.exists()) return -1
+    val s = java.nio.file.Files.readString(f.toPath)
+    val i = s.indexOf("\"parts\":")
+    if (i < 0) -1 // legacy timestamp-only marker: nothing to validate
+    else s.substring(i + 8).takeWhile(c => c == '-' || c.isDigit).toInt
+  }
+
+  /** The per-partition build lineage as a queryable DataFrame — one row
+    * per (stage, partition) with rows/terms/blocks/encodedBytes/wallMillis,
+    * read from the JSON sidecars the encode tasks wrote. The operator-
+    * facing face of the north rule's "per-partition lineage + metrics". */
+  def lineage(spark: SparkSession, dir: String): Dataset[Lineage] = {
+    import spark.implicits._
+    spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Lineage]].schema)
+      .json(s"$dir/_lineage/*/part-*.json")
+      .as[Lineage]
+  }
+
+  /** Validate that every encode task of a committed stage left its lineage
+    * sidecar: the commit marker records the expected task count, so a
+    * build that lost a partition (partial copy, manual tampering, a
+    * half-restored checkpoint) is detected at load time instead of
+    * silently serving an index with missing postings. No-op for legacy
+    * markers without a parts record. */
+  def validateLineage(dir: String): Unit =
+    Seq("postings", "trigrams").foreach { stage =>
+      val expected = committedParts(dir, stage)
+      if (expected >= 0) {
+        val found = Option(new java.io.File(s"$dir/_lineage/$stage").listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => "part-(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .toSet
+        val missing = (0 until expected).filterNot(found)
+        require(missing.isEmpty,
+          s"$dir: stage '$stage' committed $expected partitions but lineage " +
+            s"sidecars for partition(s) ${missing.mkString(",")} are missing — " +
+            "partial or tampered build")
+      }
+    }
 
   /** Build and persist, stage by stage, skipping stages whose commit
     * marker already exists — the checkpoint/resume discipline (mirrors
@@ -612,7 +667,7 @@ object IndexBuilder {
     if (!stageDone(dir, "postings")) {
       encodeTokenPostings(spark, docText, meta.docsPerShard, cfg)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-      commitStage(dir, "postings"); stageEnd("postings"); ran += 1
+      commitStage(dir, "postings", cfg.partitions); stageEnd("postings"); ran += 1
     }
 
     if (!stageDone(dir, "termstats")) {
@@ -623,10 +678,23 @@ object IndexBuilder {
       commitStage(dir, "termstats"); stageEnd("termstats"); ran += 1
     }
 
+    if (!stageDone(dir, "revterms")) {
+      // reversed-term dictionary, globally sorted by rev: suffix wildcards
+      // become a rev-prefix range with parquet min/max pruning (the same
+      // sorted-directory trick the forward term column gets for free).
+      // Tiny table (|vocab| rows), so 8 range partitions suffice.
+      spark.read.parquet(s"$dir/termstats")
+        .select(reverse(col("term")).as("rev"), col("term"))
+        .repartitionByRange(8, col("rev"))
+        .sortWithinPartitions("rev")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
+      commitStage(dir, "revterms"); stageEnd("revterms"); ran += 1
+    }
+
     if (cfg.buildTrigrams && !stageDone(dir, "trigrams")) {
       encodeTriPostings(spark, docText, meta.docsPerShard, cfg)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
-      commitStage(dir, "trigrams"); stageEnd("trigrams"); ran += 1
+      commitStage(dir, "trigrams", cfg.partitions); stageEnd("trigrams"); ran += 1
     }
     ran
   }
@@ -638,6 +706,7 @@ object IndexBuilder {
     Seq("docmap", "docnorms", "postings", "termstats").foreach { st =>
       require(stageDone(dir, st), s"$dir: stage '$st' is not committed — partial build")
     }
+    validateLineage(dir) // every committed encode task left its sidecar
     val meta = readMeta(s"$dir/meta.json")
     val tri =
       if (stageDone(dir, "trigrams")) Some(spark.read.parquet(s"$dir/trigrams").as[TriBlock])
@@ -663,7 +732,10 @@ object IndexBuilder {
       spark.read.parquet(s"$dir/docnorms").as[DocNorms],
       spark.read.parquet(s"$dir/postings").as[PostingBlock],
       tri,
-      spark.read.parquet(s"$dir/termstats").as[TermStats])
+      spark.read.parquet(s"$dir/termstats").as[TermStats],
+      revdict = // optional (pre-r04 layouts): suffix falls back to a scan
+        if (stageDone(dir, "revterms")) Some(spark.read.parquet(s"$dir/revterms"))
+        else None)
   }
 
   def writeMeta(path: String, m: IndexMeta): Unit =

@@ -157,7 +157,9 @@ object Search {
     * per-(qid,shard) top-k heap bounds the shuffle and a per-qid window
     * takes the global top-k. */
   def topKBatch(spark: SparkSession, idx: BuiltIndex, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     val qs: Array[(Long, Array[String])] = queries
       .select(col("qid").cast("long"), col("terms"))
@@ -190,7 +192,7 @@ object Search {
       (_, blockIt, normIt) =>
         val norms = normIt.toSeq.headOption
         if (norms.isEmpty) Iterator.empty[(Long, Long, Double)]
-        else batchShard(blockIt, norms.get, dps, dfs, ubs, nDocs, avgdl, k, bQs.value)
+        else batchShard(blockIt, norms.get, dps, dfs, ubs, nDocs, avgdl, k, bQs.value, audit)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
@@ -200,38 +202,89 @@ object Search {
       .select("qid", "docId", "score", "rank")
   }
 
-  /** One shard of topKBatch: decode each needed term once, score every
-    * query against the decoded lists, local top-k per query.
+  /** Lazily-decoded posting blocks of one term within one shard: a
+    * block's docid/tf arrays materialize only when something actually
+    * touches it, and stay cached for every later query of the batch.
+    * Unfrozen queries force the full concatenation; frozen queries (TAAT
+    * stop rule) probe per candidate through the block [firstDoc,lastDoc]
+    * directory, so a stopword block holding no candidate of ANY query in
+    * the batch never varint-decodes — the restrict-list block skip of
+    * restrictedBlocksDecode applied to the batch path (dcs applies its
+    * restrict during every section read, internal/index/query.go:139-168). */
+  private final class LazyTermPostings(bs: Array[PostingBlock], dps: Long) {
+    val nBlocks: Int = bs.length
+    /** docs across all blocks, from block metadata — no decode needed */
+    val len: Int = { var s = 0; bs.foreach(s += _.df); s }
+    private val firstDocs: Array[Long] = bs.map(_.firstDoc)
+    private val dec = new Array[Array[Long]](bs.length)
+    private val decTf = new Array[Array[Int]](bs.length)
+    var decodedBlocks = 0
+    private def force(i: Int): Unit = if (dec(i) == null) {
+      val (d, f) = Postings.decodeDocsTfs(bs(i), dps)
+      dec(i) = d; decTf(i) = f; decodedBlocks += 1
+    }
+    private var fullDs: Array[Long] = null
+    private var fullTf: Array[Int] = null
+    def full: (Array[Long], Array[Int]) = {
+      if (fullDs == null) {
+        val ds = new Array[Long](len); val tf = new Array[Int](len)
+        var i = 0; var w = 0
+        while (i < bs.length) {
+          force(i)
+          System.arraycopy(dec(i), 0, ds, w, dec(i).length)
+          System.arraycopy(decTf(i), 0, tf, w, decTf(i).length)
+          w += dec(i).length; i += 1
+        }
+        fullDs = ds; fullTf = tf
+      }
+      (fullDs, fullTf)
+    }
+    /** tf of `doc`, or 0 if absent — decodes at most the ONE block whose
+      * [firstDoc,lastDoc] range can contain it. */
+    def tfOf(doc: Long): Int = {
+      var lo = 0; var hi = firstDocs.length - 1; var idx = -1
+      while (lo <= hi) { // last block with firstDoc <= doc
+        val mid = (lo + hi) >>> 1
+        if (firstDocs(mid) <= doc) { idx = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (idx < 0 || bs(idx).lastDoc < doc) return 0
+      force(idx)
+      val p = java.util.Arrays.binarySearch(dec(idx), doc)
+      if (p >= 0) decTf(idx)(p) else 0
+    }
+  }
+
+  /** One shard of topKBatch: each needed block decodes at most once and
+    * is shared across every query referencing its term.
     *
     * Per query, terms are processed in DESCENDING upper-bound order with
     * the TAAT maxscore stop rule (Turtle & Flood): once the summed ub of
     * the still-unprocessed terms falls strictly below the current k-th
     * best partial score, no unseen doc can reach the top-k — the
     * accumulator set freezes and remaining terms (the stopword tail)
-    * only update existing candidates, via binary search into the decoded
-    * posting arrays when that is cheaper than a membership-filtered scan.
-    * Exact: every accumulated doc still receives all its contributions;
-    * the bound uses strict `<`, so tie-break order is never affected. */
+    * only update existing candidates, via per-candidate block-directory
+    * probes ([[LazyTermPostings.tfOf]]) that leave untouched blocks
+    * UNDECODED, falling back to a membership-filtered full scan only when
+    * the candidate set is larger than the term's whole list. Exact: every
+    * accumulated doc still receives all its contributions; the bound uses
+    * strict `<`, so tie-break order is never affected. `audit` =
+    * (decodedBlocks, skippedBlocks) accumulators for tests. */
   private def batchShard(
       blockIt: Iterator[PostingBlock], norms: DocNorms, dps: Long,
       dfs: Map[String, Long], ubs: Map[String, Double],
       nDocs: Long, avgdl: Double, k: Int,
-      qs: Array[(Long, Array[String])]): Iterator[(Long, Long, Double)] = {
+      qs: Array[(Long, Array[String])],
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): Iterator[(Long, Long, Double)] = {
     val dls = Varint.decodeInts(norms.dls, norms.n)
     val base = norms.base
-    val byTerm: Map[String, (Array[Long], Array[Int])] =
+    val byTerm: Map[String, LazyTermPostings] =
       blockIt.toArray.groupBy(_.term).map { case (t, bs) =>
-        val ds = scala.collection.mutable.ArrayBuilder.make[Long]
-        val tf = scala.collection.mutable.ArrayBuilder.make[Int]
-        bs.sortBy(_.firstDoc).foreach { b =>
-          val (d, f) = Postings.decodeDocsTfs(b, dps)
-          ds ++= d; tf ++= f
-        }
-        t -> ((ds.result(), tf.result()))
+        t -> new LazyTermPostings(bs.sortBy(_.firstDoc), dps)
       }
     implicit val ord: Ordering[(Long, Double)] =
       Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
-    qs.iterator.flatMap { case (qid, terms) =>
+    val out = qs.iterator.flatMap { case (qid, terms) =>
       val present = terms.filter(byTerm.contains)
       if (present.isEmpty) Iterator.empty[(Long, Long, Double)]
       else {
@@ -254,9 +307,10 @@ object Search {
               java.util.Arrays.sort(candSorted)
             }
           }
-          val (ds, tfArr) = byTerm(t)
+          val lt = byTerm(t)
           val df = dfs(t)
           if (!frozen) {
+            val (ds, tfArr) = lt.full
             var i = 0
             while (i < ds.length) {
               val doc = ds(i)
@@ -265,20 +319,22 @@ object Search {
                 BM25.score(tfArr(i), df, dl, nDocs, avgdl)
               i += 1
             }
-          } else if (candSorted.length.toLong *
-              (64 - java.lang.Long.numberOfLeadingZeros(math.max(ds.length, 1).toLong)) < ds.length) {
-            // few candidates vs a long (stopword) list: O(|C| log df)
+          } else if (candSorted.length < lt.len) {
+            // few candidates vs a long (stopword) list: probe the block
+            // directory per candidate — O(|C| (log blocks + log blockSize)),
+            // decoding ONLY blocks that hold a candidate
             var c = 0
             while (c < candSorted.length) {
               val doc = candSorted(c)
-              val pos = java.util.Arrays.binarySearch(ds, doc)
-              if (pos >= 0) {
+              val tf = lt.tfOf(doc)
+              if (tf > 0) {
                 val dl = dls((doc - base).toInt)
-                acc(doc) += BM25.score(tfArr(pos), df, dl, nDocs, avgdl)
+                acc(doc) += BM25.score(tf, df, dl, nDocs, avgdl)
               }
               c += 1
             }
           } else {
+            val (ds, tfArr) = lt.full
             var i = 0
             while (i < ds.length) {
               val doc = ds(i)
@@ -302,6 +358,18 @@ object Search {
         val top: Seq[(Long, Double)] = heap.dequeueAll
         top.reverse.iterator.map(e => (qid, e._1, e._2))
       }
+    }
+    audit match {
+      case None => out
+      case Some((decA, skipA)) =>
+        // materialize (bounded: ≤ queries×k rows per shard) so the audit
+        // counts land only after every query of the shard has run
+        val rows = out.toArray
+        byTerm.valuesIterator.foreach { lt =>
+          decA.add(lt.decodedBlocks.toLong)
+          skipA.add((lt.nBlocks - lt.decodedBlocks).toLong)
+        }
+        rows.iterator
     }
   }
 
@@ -800,14 +868,16 @@ object Search {
   }
 
   /** Suffix (leading wildcard `*fix`) term query: like [[prefixSearch]]
-    * but anchored at the end of the term. `endsWith` cannot use the
-    * parquet term min/max ordering the way a prefix does, so this is a
-    * full DICTIONARY scan — deliberately acceptable: the dictionary is
-    * O(vocabulary) (~10⁶-10⁷ terms at web scale) while the corpus is
-    * O(docs) (10⁹+); engines needing sublinear suffix lookup add a
-    * reversed-term dictionary (the classic reverse-wildcard trick), which
-    * would slot in as a second termstats sort order without changing this
-    * API. Expansion capped like prefix. */
+    * but anchored at the end of the term. On a persisted index this runs
+    * against the REVERSED-TERM dictionary (revterms, sorted by
+    * reverse(term) on disk — the classic reverse-wildcard trick): the
+    * suffix becomes a prefix range on `rev`, pushed down to the parquet
+    * scan as StringStartsWith with file/row-group pruning from the rev
+    * min/max stats — O(log V + expansion) instead of a dictionary scan.
+    * In-memory indexes (no revterms table) fall back to the documented
+    * O(vocabulary) endsWith scan over termstats, which is still bounded:
+    * the dictionary is O(vocabulary) (~10⁶-10⁷ terms at web scale) while
+    * the corpus is O(docs) (10⁹+). Expansion capped like prefix. */
   def suffixSearch(spark: SparkSession, idx: BuiltIndex, suffix: String,
       maxExpand: Int = 1024): DataFrame = {
     import spark.implicits._
@@ -816,16 +886,18 @@ object Search {
     else searchOr(spark, idx, expanded)
   }
 
-  /** Dictionary expansion of a suffix wildcard (sorted, capped). */
+  /** Dictionary expansion of a suffix wildcard (sorted, capped): reversed
+    * dictionary when the index has one, endsWith scan otherwise. */
   def expandSuffix(spark: SparkSession, idx: BuiltIndex, suffix: String,
       maxExpand: Int = 1024): Seq[String] = {
     import spark.implicits._
     require(suffix.nonEmpty, "empty suffix would match the whole dictionary")
     require(maxExpand > 0)
     val norm = suffix.toLowerCase(java.util.Locale.ROOT)
-    val expanded = idx.termstats
-      .filter(col("term").endsWith(norm))
-      .select(col("term")).as[String]
+    val expanded = (idx.revdict match {
+      case Some(rd) => rd.filter(col("rev").startsWith(norm.reverse)).select(col("term"))
+      case None     => idx.termstats.filter(col("term").endsWith(norm)).select(col("term"))
+    }).as[String]
       .limit(maxExpand + 1)
       .collect()
     require(expanded.length <= maxExpand,

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * 64-dim unit vectors with ~3% planted near-dup pairs; events = 30 days
   * of 5 uniform event types over nUsers users.
   *
-  * Usage: runMain graft.tools.GenSf <outDir> [mult]   (mult × sf0.1)
+  * Usage: runMain graft.tools.GenSf <outDir> [mult] [vocabMode]
+  * (mult × sf0.1; vocabMode = "sf" (default, the driver's 30-word
+  * vocabulary) or "zipf": 10⁵ distinct terms drawn Zipf(s=1.07) — a
+  * realistic webtext vocabulary so shingle/LSH measurements at sf1+
+  * stop being distorted by 3-shingle-space saturation of the toy vocab
+  * (BENCH/BASELINE.md §6b caveat → §6c).
   */
 object GenSf extends Serializable {
   val vocab: Array[String] = Array(
@@ -27,6 +32,30 @@ object GenSf extends Serializable {
   val langs: Array[(String, Double)] =
     Array(("en", 0.412), ("zh", 0.562), ("es", 0.711), ("fr", 0.860), ("de", 1.0))
   val eventTypes: Array[String] = Array("view", "click", "error", "signup", "purchase")
+
+  /** Zipf(s) sampler over V ranked terms: inverse-CDF binary search on a
+    * precomputed cumulative array (built once per executor JVM). Term of
+    * rank r is "t"+base36(r) — lowercase alnum, so the tokenizer keeps it
+    * whole. s=1.07 is the classic web-corpus exponent. */
+  val zipfV = 100000
+  val zipfS = 1.07
+  lazy val zipfCum: Array[Double] = {
+    val c = new Array[Double](zipfV)
+    var acc = 0.0
+    var r = 0
+    while (r < zipfV) { acc += 1.0 / math.pow(r + 1.0, zipfS); c(r) = acc; r += 1 }
+    c
+  }
+  def zipfTerm(u: Double): String = {
+    val cum = zipfCum
+    val target = u * cum(zipfV - 1)
+    var lo = 0; var hi = zipfV - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cum(mid) < target) lo = mid + 1 else hi = mid
+    }
+    "t" + java.lang.Integer.toString(lo, 36)
+  }
 
   private def mix(seed: Long): java.util.Random = {
     // splitmix64 scramble so per-id streams are independent of partitioning
@@ -39,6 +68,9 @@ object GenSf extends Serializable {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val vocabMode = args.lift(2).getOrElse("sf")
+    require(vocabMode == "sf" || vocabMode == "zipf", s"bad vocabMode $vocabMode")
+    val zipf = vocabMode == "zipf"
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
     val nEvents = 100000L * mult
@@ -60,7 +92,10 @@ object GenSf extends Serializable {
       var i = 0
       while (i < n) {
         if (i > 0) sb.append(' ')
-        sb.append(if (r.nextDouble() < 0.00094) "dup" else vocab(r.nextInt(vocab.length)))
+        sb.append(
+          if (r.nextDouble() < 0.00094) "dup"
+          else if (zipf) zipfTerm(r.nextDouble())
+          else vocab(r.nextInt(vocab.length)))
         i += 1
       }
       val text = sb.toString
@@ -105,7 +140,7 @@ object GenSf extends Serializable {
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
 
-    println(s"[gensf] wrote $out: docs=$nDocs vecs=$nVecs events=$nEvents")
+    println(s"[gensf] wrote $out: docs=$nDocs vecs=$nVecs events=$nEvents vocab=$vocabMode")
     spark.stop()
   }
 }

@@ -49,6 +49,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("In(term"), s"no term pushdown on the restrict path:\n$plan")
   }
 
+  test("suffix wildcard is a rev-prefix range on the reversed dictionary") {
+    import org.apache.spark.sql.functions.col
+    assert(idx.revdict.isDefined, "persisted index should carry revterms")
+    // identity: reversed-dictionary expansion == fallback endsWith scan
+    val viaRev = Search.expandSuffix(spark, idx, "r3")
+    val viaScan = Search.expandSuffix(spark, idx.copy(revdict = None), "r3")
+    assert(viaRev == viaScan && viaRev == Seq("qmarker3"))
+    // the suffix becomes StringStartsWith on the rev-sorted parquet —
+    // file/row-group-prunable, unlike EndsWith on the forward dictionary
+    val df = idx.revdict.get.filter(col("rev").startsWith("3r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(rev"),
+      s"no rev-prefix pushdown visible:\n$plan")
+  }
+
   test("docmap reads prune the text column") {
     val df = graft.queries.QueryRunner.run(spark, idx, "qmarker3 lang:de", 10)
     val plan = df.queryExecution.executedPlan.toString

@@ -23,7 +23,7 @@ class ResumeSpec extends AnyFunSuite {
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
     val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
     val ran1 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
-    assert(ran1 == 5) // docmap, docnorms, postings, termstats, trigrams
+    assert(ran1 == 6) // docmap, docnorms, postings, termstats, revterms, trigrams
     val ran2 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
     assert(ran2 == 0) // fully resumed
 
@@ -34,17 +34,43 @@ class ResumeSpec extends AnyFunSuite {
     assert(json.contains("\"rows\":") && json.contains("\"encodedBytes\":"))
   }
 
+  test("lineage accessor: one row per (stage, partition), metrics add up") {
+    val dir = tmpDir()
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    val lin = IndexBuilder.lineage(spark, dir).collect()
+    assert(lin.count(_.stage == "postings") == 4) // one per encode task
+    assert(lin.count(_.stage == "trigrams") == 4)
+    assert(lin.map(_.rows).sum == 600) // both stages see every doc once
+    assert(lin.filter(_.stage == "postings").map(_.blocks).sum > 0)
+    // a task that received no shard still writes its (all-zero) sidecar
+    assert(lin.filter(_.rows > 0).forall(_.encodedBytes > 0))
+  }
+
+  test("load detects a build with a missing lineage partition") {
+    val dir = tmpDir()
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    assert(IndexBuilder.load(spark, dir).meta.nDocs == 300) // intact: loads
+    val lost = new java.io.File(s"$dir/_lineage/postings/part-2.json")
+    assert(lost.delete())
+    val e = intercept[IllegalArgumentException](IndexBuilder.load(spark, dir))
+    assert(e.getMessage.contains("partition(s) 2"))
+  }
+
   test("crash-suffix resume reruns only uncommitted stages") {
     val dir = tmpDir()
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
     val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
     IndexBuilder.buildPersistent(spark, docs, dir, cfg)
     // simulate a crash after docnorms: drop the marker suffix
-    Seq("postings", "termstats", "trigrams").foreach { st =>
+    Seq("postings", "termstats", "revterms", "trigrams").foreach { st =>
       new java.io.File(s"$dir/_COMMITTED_$st").delete()
     }
     val ran = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
-    assert(ran == 3)
+    assert(ran == 4)
   }
 
   test("publish/swap/vacuum: atomic CURRENT pointer, old versions dropped") {
