@@ -74,6 +74,20 @@ object SparkEntry {
   private def docsWithIds(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).select(col("doc_id").as("docId"), col("text"))
 
+  /** A PERSISTED index (buildPersistent into a temp dir, then load()ed):
+    * puts the on-disk layout — reversed-term dictionary, lineage
+    * sidecars, commit markers, load-time audit — under the driver's
+    * oracle gate, not just under specs. One build per sfDir per JVM. */
+  private val persistedCache = TrieMap.empty[String, BuiltIndex]
+  private val persistedDirs = TrieMap.empty[String, String]
+  def persisted(s: SparkSession, dir: String): BuiltIndex =
+    persistedCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-persist").toString
+      IndexBuilder.buildPersistent(s, corpus(s, dir).select("url", "text", "lang"), out, cfg)
+      persistedDirs(dir) = out
+      IndexBuilder.load(s, out).cache()
+    })
+
   /** k-means-trained IVF centroids, cached per sfDir. The oracle SQL for
     * q_ivf_trained inlines these as literals — available only after the
     * query has run in this JVM; Verify runs every query before dumping
@@ -212,6 +226,20 @@ object SparkEntry {
     "q_suffix_query" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), SuffixQuery, 10)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // same suffix wildcard through the PERSISTED index: the reversed-term
+    // dictionary (rev-prefix range, parquet min/max pruning) replaces the
+    // dictionary scan; scores must match the in-memory path exactly
+    "q_suffix_rev" -> ((s, dir) =>
+      QueryRunner.run(s, persisted(s, dir), SuffixQuery, 10)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
+    // per-partition lineage rolled up per stage: every encode task wrote
+    // its sidecar and together they saw each document exactly once
+    "q_lineage" -> ((s, dir) => {
+      persisted(s, dir) // ensure built (and load-time audited)
+      IndexBuilder.lineage(s, persistedDirs(dir))
+        .groupBy("stage").agg(sum("rows").as("n_rows"))
+        .filter(col("stage").isin("postings", "trigrams"))
+    }),
     // fuzzy `sow~`: Levenshtein<=1 dictionary expansion (typo tolerance)
     "q_fuzzy_query" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), FuzzyQuery, 10)
@@ -700,6 +728,14 @@ object SparkEntry {
     "q_prefix_query" -> bm25SqlWhere(
       s"term IN (SELECT DISTINCT term FROM tok WHERE term LIKE '$PrefixLit%')", 10),
     "q_suffix_query" -> bm25SqlWhere("term LIKE '%ow'", 10),
+    // persisted-index suffix path must produce the identical result set
+    "q_suffix_rev" -> bm25SqlWhere("term LIKE '%ow'", 10),
+    // lineage rollup: both encode stages saw every document exactly once
+    "q_lineage" ->
+      """SELECT stage, n_rows FROM (
+        |  SELECT 'postings' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+        |  UNION ALL
+        |  SELECT 'trigrams' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM documents)""".stripMargin,
     "q_fuzzy_query" -> bm25SqlWhere(
       "term IN (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'sow') <= 1)", 10),
     "q_suggest" ->

@@ -572,9 +572,19 @@ object IndexBuilder {
     * facing face of the north rule's "per-partition lineage + metrics". */
   def lineage(spark: SparkSession, dir: String): Dataset[Lineage] = {
     import spark.implicits._
+    // explicit file list rather than a glob: `_lineage` is `_`-prefixed
+    // (hidden to table readers scanning the index root), and Spark's glob
+    // resolution logs a spurious FileNotFoundException for such paths
+    // before resolving them — listing the O(tasks) sidecars is cheap
+    val files = Option(new java.io.File(s"$dir/_lineage").listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(st => Option(st.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".json"))
+      .map(_.getPath).toSeq
+    require(files.nonEmpty, s"$dir: no lineage sidecars under _lineage/")
     spark.read
       .schema(implicitly[org.apache.spark.sql.Encoder[Lineage]].schema)
-      .json(s"$dir/_lineage/*/part-*.json")
+      .json(files: _*)
       .as[Lineage]
   }
 

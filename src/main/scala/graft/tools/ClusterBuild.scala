@@ -85,18 +85,32 @@ object ClusterBuild {
 
     val docs = spark.read.parquet(corpusDir)
     val nDocs = docs.count()
+    // shards per HIGH-level core (same absolute shard count at both levels
+    // of a pair — identical work discipline). Default 8: shards >> tasks,
+    // so hash-assigning shards to encode tasks balances (at shards ~=
+    // tasks, balls-into-bins leaves ~1/e tasks empty and 2-3x stragglers —
+    // and production sizes shards to task memory, far more than 2/core).
+    val spc = sys.env.getOrElse("SPARK_GRAFT_SHARDS_PER_CORE", "8").toInt
     val cfg = IndexBuilder.Config(
-      docsPerShard = math.max(1L, nDocs / (nHigh * 2L)),
+      docsPerShard = math.max(1L, nDocs / (nHigh.toLong * spc)),
       blockSize = 256, buildTrigrams = false, partitions = totalCores * 2)
     def buildTo(out: String): Double = {
       val t0 = System.nanoTime()
-      IndexBuilder.buildPersistent(spark, docs, out, cfg, (_, _) => ())
+      IndexBuilder.buildPersistent(spark, docs, out, cfg,
+        (st, sec) => println(f"[clusterbuild] stage=$st sec=$sec%.2f"))
       (System.nanoTime() - t0) / 1e9
     }
     def tmp(): String = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm/graft-spark"), "cb").toString
+    // warmup: JIT + classloading in every executor JVM. A smaller warmup
+    // corpus (SPARK_GRAFT_WARMUP_CORPUS) keeps the warmup cost bounded
+    // when the measured corpus is large — JIT doesn't need the full set.
+    val warmDocs = sys.env.get("SPARK_GRAFT_WARMUP_CORPUS")
+      .map(d => spark.read.parquet(d)).getOrElse(docs)
     val w = tmp()
-    buildTo(w) // warmup: JIT + classloading in every executor JVM
+    val tw = System.nanoTime()
+    IndexBuilder.buildPersistent(spark, warmDocs, w, cfg, (_, _) => ())
+    println(f"[clusterbuild] warmup_sec=${(System.nanoTime() - tw) / 1e9}%.2f")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(w))
     val out = tmp()
     val sec = buildTo(out)

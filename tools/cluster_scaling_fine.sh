@@ -1,0 +1,74 @@
+#!/bin/bash
+# Follow-up to tools/cluster_scaling.sh: the E1/E2 executor-scaling pairs
+# with production-shaped sharding (SPARK_GRAFT_SHARDS_PER_CORE=8 →
+# shards >> encode tasks, no balls-into-bins stragglers; see
+# ClusterBuild) and corpora sized so the scaling REGION dominates the
+# fixed per-stage scheduler/commit latency (f ~= 6.6s at 800k docs made
+# 0.80 unreachable by arithmetic alone: eff = (f+W)/(4(f+W/4))).
+# Same pinning/minima discipline as cluster_scaling.sh.
+set -u
+cd /root/repo
+ROUNDS=${ROUNDS:-3}
+LOG=${LOG:-/root/repo/BENCH/logs/cluster_scaling_fine.log}
+C32=/dev/shm/graft-corpus-3200k
+C64=/dev/shm/graft-corpus-6400k
+WARM=/dev/shm/graft-corpus-800k
+export SPARK_GRAFT_WARMUP_CORPUS=$WARM
+export SPARK_HOME=/opt/spark
+export SPARK_SCALA_VERSION=2.13
+export SPARK_WORKER_DIR=/dev/shm/graft-spark/work
+export SPARK_GRAFT_SHARDS_PER_CORE=${SPARK_GRAFT_SHARDS_PER_CORE:-8}
+mkdir -p /dev/shm/graft-spark/work "$(dirname "$LOG")"
+FROZEN=${FROZEN:-/dev/shm/graft-frozen-classes}
+rm -rf "$FROZEN"
+cp -r target/scala-2.13/classes "$FROZEN"
+ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+  java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+  sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
+
+run() {
+  local w=$1 c=$2 mem=$3 corpus=$4 nhigh=$5 tag=$6; shift 6
+  local sets=("$@")
+  local pf=/dev/shm/graft-spark/pin_$tag
+  rm -f "$pf"
+  local drain=0
+  while pgrep -f "executor.CoarseGrainedExecutorBackend" >/dev/null 2>&1; do
+    drain=$((drain+1)); [ $drain -gt 60 ] && break; sleep 1
+  done
+  SPARK_GRAFT_NHIGH=$nhigh SPARK_GRAFT_PINFILE=$pf \
+  SPARK_GRAFT_CLASSES=$FROZEN \
+  SPARK_GRAFT_EXEC_EXTRAOPTS="-XX:ActiveProcessorCount=$c -XX:ParallelGCThreads=$c" \
+    java $ADDOPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -cp "$FROZEN:/opt/spark/jars/*" graft.tools.ClusterBuild $w $c $mem $corpus $tag \
+    > /tmp/cbf_$tag.out 2>&1 &
+  local sbtpid=$!
+  local tries=0
+  while true; do
+    mapfile -t pids < <(pgrep -f "executor.CoarseGrainedExecutorBackend" | sort -n)
+    [ "${#pids[@]}" -ge "$w" ] && break
+    tries=$((tries+1))
+    if [ $tries -gt 600 ]; then echo "[cluster] $tag: executors never appeared" >>"$LOG"; break; fi
+    sleep 0.5
+  done
+  local i=0
+  for pid in "${pids[@]}"; do
+    taskset -a -p -c "${sets[$i]}" "$pid" >/dev/null 2>&1
+    i=$(( (i+1) % ${#sets[@]} ))
+  done
+  local dpid
+  dpid=$(pgrep -f "graft.tools.ClusterBuild" | head -1)
+  [ -n "$dpid" ] && taskset -a -p -c 28-31 "$dpid" >/dev/null 2>&1
+  touch "$pf"
+  wait "$sbtpid"
+  grep -hE "clusterbuild. (tag|executors|stage|warmup)" /tmp/cbf_$tag.out >>"$LOG"
+}
+
+echo "[cluster] start $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg) spc=$SPARK_GRAFT_SHARDS_PER_CORE" >>"$LOG"
+for r in $(seq 1 "$ROUNDS"); do
+  echo "[cluster] round $r $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg)" >>"$LOG"
+  run 1 2 7168 "$C32" 8 "F1low_r$r"  0-1
+  run 4 2 7168 "$C32" 8 "F1high_r$r" 0-1 2-3 4-5 6-7
+  run 1 4 9216 "$C64" 16 "F2low_r$r"  0-3
+  run 4 4 9216 "$C64" 16 "F2high_r$r" 0-3 4-7 8-11 12-15
+done
+echo "[cluster] done $(date +%T)" >>"$LOG"
