@@ -14,7 +14,16 @@ package graft.queries
   * terminators unless (?s); `^`/`$` match only at input boundaries (`$`
   * also before a final '\n', the Java quirk); `\b` on word chars
   * [A-Za-z0-9_]. GrepMatchSpec pins agreement against `java.util.regex`
-  * over the reference matcher's golden table.
+  * over the reference matcher's golden table; RegexFuzzSpec fuzzes the
+  * agreement differentially over random patterns.
+  *
+  * One DELIBERATE divergence from java.util.regex (found by the fuzz):
+  * a quantifier whose body can match the empty string, e.g.
+  * `(\b[^x]*){2,4}` — Java's loop construct stops on zero-length
+  * iterations and can reject inputs where a valid decomposition exists;
+  * this engine keeps true Thompson-NFA semantics and matches. RE2 — the
+  * reference's engine AND DuckDB's (the driver oracle) — agrees with the
+  * NFA answer, so this is the correct side to be on.
   */
 final class Matcher private[queries] (
     prog: Array[Matcher.Inst], dotAll: Boolean) extends Serializable {
