@@ -300,6 +300,14 @@ object SparkEntry {
         .select(col("term"), col("df"), col("cf"), col("maxTf").as("max_tf"))
         .orderBy("term")
     }),
+    // the incremental-update pipeline END-TO-END (dcs's nightly
+    // base+delta rebuild): two sub-builds → block-level concat merge →
+    // BM25 retrieval over the MERGED index must rank identically to the
+    // direct full build (same oracle as q_bm25_topk — the merge is
+    // invisible to search, not just to termstats)
+    "q_incremental_search" -> ((s, dir) =>
+      Search.topK(s, mergedConcat(s, dir), Bm25Terms, 20)
+        .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
     // F3-analogue metadata filter + restricted scoring
     "q_lang_filter" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), "dup lang:de", 10)
@@ -669,6 +677,9 @@ object SparkEntry {
       s"""$P SELECT DISTINCT docid FROM tok WHERE term IN (${inList(OrTerms)})
          |ORDER BY docid""".stripMargin,
     "q_bm25_topk" -> bm25Sql(Bm25Terms, 20),
+    // retrieval over the concat-merged index ranks exactly like the
+    // direct build — same oracle as q_bm25_topk by design
+    "q_incremental_search" -> bm25Sql(Bm25Terms, 20),
     "q_bm25_and" -> bm25Sql(Bm25Terms, 20,
       s"""WHERE docid IN (SELECT docid FROM tok WHERE term IN (${inList(Bm25Terms)})
          |GROUP BY docid HAVING count(DISTINCT term) = ${Bm25Terms.length})""".stripMargin),
