@@ -80,6 +80,17 @@ object SparkEntry {
     * oracle gate, not just under specs. One build per sfDir per JVM. */
   private val persistedCache = TrieMap.empty[String, BuiltIndex]
   private val persistedDirs = TrieMap.empty[String, String]
+  // bench/verify JVMs build these under java.io.tmpdir — delete on JVM
+  // exit so repeated rounds don't fill /tmp with full persisted indexes
+  // (code-review r04)
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    persistedDirs.values.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }))
   def persisted(s: SparkSession, dir: String): BuiltIndex =
     persistedCache.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft-persist").toString

@@ -400,6 +400,7 @@ object IndexBuilder {
       dps: Long,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
+    clearLineage(cfg.lineageDir, "postings") // driver-side: drop stale sidecars
     val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
       .toDF("shard", "docId", "text")
       .repartition(cfg.partitions, col("shard"))
@@ -437,6 +438,7 @@ object IndexBuilder {
       dps: Long,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
+    clearLineage(cfg.lineageDir, "postings") // driver-side: drop stale sidecars
     val sorted = toks
       .repartition(cfg.partitions, col("shard"))
       .sortWithinPartitions("shard", "doc", "pos")
@@ -474,6 +476,7 @@ object IndexBuilder {
       dps: Long,
       cfg: Config): Dataset[TriBlock] = {
     import spark.implicits._
+    clearLineage(cfg.lineageDir, "trigrams") // driver-side: drop stale sidecars
     val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
       .toDF("shard", "docId", "text")
       .repartition(cfg.partitions, col("shard"))
@@ -527,6 +530,17 @@ object IndexBuilder {
       blocks.iterator
     }
   }
+
+  /** Driver-side, called at encode-plan construction: clear the stage's
+    * lineage dir so a re-run with FEWER partitions cannot leave stale
+    * part-N.json sidecars behind — validateLineage would accept them
+    * (it only checked for missing parts) and lineage() would double-count
+    * rows (code-review r04). */
+  private def clearLineage(dir: Option[String], stage: String): Unit =
+    dir.foreach { d =>
+      val f = new java.io.File(s"$d/$stage")
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
+    }
 
   /** Per-partition lineage/metrics sidecar (JSON, one file per task).
     * Local-FS write; on a real cluster this path is a shared filesystem
@@ -607,6 +621,11 @@ object IndexBuilder {
           s"$dir: stage '$stage' committed $expected partitions but lineage " +
             s"sidecars for partition(s) ${missing.mkString(",")} are missing — " +
             "partial or tampered build")
+        val extra = found.filter(_ >= expected)
+        require(extra.isEmpty,
+          s"$dir: stage '$stage' committed $expected partitions but STALE " +
+            s"sidecars ${extra.toSeq.sorted.mkString(",")} from a prior build " +
+            "attempt are present — lineage() would double-count; rebuild the stage")
       }
     }
 

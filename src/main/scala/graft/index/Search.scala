@@ -236,12 +236,22 @@ object Search {
           w += dec(i).length; i += 1
         }
         fullDs = ds; fullTf = tf
+        // the concatenation supersedes the per-block copies (tfOf searches
+        // it directly) — drop them so a fully-decoded term holds ONE copy
+        // of its postings, not two (code-review r04)
+        i = 0
+        while (i < bs.length) { dec(i) = null; decTf(i) = null; i += 1 }
       }
       (fullDs, fullTf)
     }
     /** tf of `doc`, or 0 if absent — decodes at most the ONE block whose
-      * [firstDoc,lastDoc] range can contain it. */
+      * [firstDoc,lastDoc] range can contain it (or binary-searches the
+      * concatenation when [[full]] already materialized it). */
     def tfOf(doc: Long): Int = {
+      if (fullDs != null) {
+        val p = java.util.Arrays.binarySearch(fullDs, doc)
+        return if (p >= 0) fullTf(p) else 0
+      }
       var lo = 0; var hi = firstDocs.length - 1; var idx = -1
       while (lo <= hi) { // last block with firstDoc <= doc
         val mid = (lo + hi) >>> 1
@@ -1233,7 +1243,13 @@ object Search {
       audit: Option[org.apache.spark.util.LongAccumulator] = None): Option[DataFrame] = {
     import spark.implicits._
     import graft.queries.{TriQuery, TrigramCompiler}
-    val q = TrigramCompiler.compile(pattern)
+    // a pattern outside the parser subset (backreferences, \p{..}, ...)
+    // has no trigram restriction: fall back to the guarded full scan,
+    // where RegexVerifier's step-bounded java.util.regex handles the
+    // exotic syntax (treating e.g. \1 as a literal here would build a
+    // NON-conservative candidate query — code-review r04)
+    val q = try TrigramCompiler.compile(pattern)
+    catch { case _: graft.queries.Regex.ParseError => return None }
     if (q.op == TriQuery.QNone)
       return Some(spark.emptyDataset[Long].toDF("docId"))
 

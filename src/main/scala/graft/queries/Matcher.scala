@@ -12,7 +12,7 @@ package graft.queries
   * Semantics: unanchored `find` ("does any substring match"), matching
   * `java.util.regex` defaults on the engine subset — `.` excludes line
   * terminators unless (?s); `^`/`$` match only at input boundaries (`$`
-  * also before a final '\n', the Java quirk); `\b` on word chars
+  * also before one FINAL line terminator, the Java quirk); `\b` on word chars
   * [A-Za-z0-9_]. GrepMatchSpec pins agreement against `java.util.regex`
   * over the reference matcher's golden table; RegexFuzzSpec fuzzes the
   * agreement differentially over random patterns.
@@ -55,7 +55,20 @@ final class Matcher private[queries] (
     def assertHolds(kind: Char, pos: Int): Boolean = kind match {
       case '^' | 'A' => pos == 0
       case 'z' => pos == len
-      case '$' => pos == len || (pos == len - 1 && s.charAt(pos) == '\n')
+      case '$' =>
+        // java.util.regex default-mode '$': end of input, or before the
+        // FINAL line terminator — \n, \r, \u0085, \u2028, \u2029, with
+        // \r\n counting as ONE terminator (so 'foo$' matches "foo\r\n");
+        // the old \n-only check silently missed CRLF corpora
+        // (code-review r04)
+        if (pos == len) true
+        else {
+          val c0 = s.charAt(pos)
+          if (pos == len - 1)
+            c0 == '\n' || c0 == '\r' || c0 == '\u0085' ||
+              c0 == '\u2028' || c0 == '\u2029'
+          else pos == len - 2 && c0 == '\r' && s.charAt(pos + 1) == '\n'
+        }
       case 'b' | 'B' =>
         val before = pos > 0 && isWord(s.charAt(pos - 1))
         val after = pos < len && isWord(s.charAt(pos))

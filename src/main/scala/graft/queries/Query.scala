@@ -79,15 +79,32 @@ object QueryParser {
     // itself contain groups — `path:(foo|bar)/x` must survive intact
     // (ADVICE r03)
     val structural = scala.collection.mutable.ArrayBuffer.empty[String]
-    rest.split("\\s+").filter(_.nonEmpty).foreach {
-      case t if t.toLowerCase.startsWith("lang:") => lang = Some(t.drop(5).toLowerCase)
-      case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5)) // regexp: keep case
-      case t if t.toLowerCase.startsWith("path:") => path = Some(t.drop(5))
-      case t if t.toLowerCase.startsWith("-lang:") => negLang = Some(t.drop(6).toLowerCase)
-      case t if t.toLowerCase.startsWith("-site:") => negSite = Some(t.drop(6))
-      case t if t.toLowerCase.startsWith("-path:") => negPath = Some(t.drop(6))
-      case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(t.drop(1))
-      case t => structural += t
+    rest.split("\\s+").filter(_.nonEmpty).foreach { raw =>
+      // peel leading '(' runs first, so `(-foo` / `(lang:de` classify by
+      // their core instead of silently entering the boolean grammar
+      // (where Text.tokenize would turn `-foo` into the POSITIVE term
+      // foo — code-review r04); the parens stay structural
+      val open = raw.takeWhile(_ == '(')
+      if (open.nonEmpty) structural += open
+      // negations and lang: values are plain terms — peel trailing ')'
+      // runs back into the structural stream; site:/path: values are
+      // REGEXPS and may legitimately contain parens (ADVICE r03), so
+      // they keep the remainder intact
+      def plain(v: String): String = {
+        val close = v.length - v.reverse.dropWhile(_ == ')').length
+        if (close > 0) structural += ")" * close
+        v.dropRight(close)
+      }
+      raw.drop(open.length) match {
+        case t if t.toLowerCase.startsWith("lang:") => lang = Some(plain(t.drop(5)).toLowerCase)
+        case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5)) // regexp: keep case
+        case t if t.toLowerCase.startsWith("path:") => path = Some(t.drop(5))
+        case t if t.toLowerCase.startsWith("-lang:") => negLang = Some(plain(t.drop(6)).toLowerCase)
+        case t if t.toLowerCase.startsWith("-site:") => negSite = Some(t.drop(6))
+        case t if t.toLowerCase.startsWith("-path:") => negPath = Some(t.drop(6))
+        case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(plain(t.drop(1)))
+        case t => if (t.nonEmpty) structural += t
+      }
     }
     // only the remaining structural tokens get the paren split for the
     // boolean grammar: terms, OR, ( , )

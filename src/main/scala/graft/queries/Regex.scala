@@ -123,8 +123,18 @@ object Regex {
               case 'r' => lit.append('\r'); pos += 1
               case 'a' => lit.append('\u0007'); pos += 1
               case 'f' => lit.append('\f'); pos += 1
-              case 'v' => lit.append('\u000b'); pos += 1
+              case 'e' => lit.append('\u001b'); pos += 1
               case 'x' => lit.append(hexEscape()); pos += 1
+              case c if c.isLetterOrDigit =>
+                // \1-\9 are BACKREFERENCES; \Z \G \p{..} \uHHHH \Q..\E \v
+                // are java.util.regex constructs outside this subset --
+                // treating them as literal chars would silently change the
+                // match set (a `(a)\1` candidate query would miss 'aa'
+                // docs). Reject instead: Matcher.tryCompile fails and
+                // RegexVerifier falls back to the step-bounded
+                // java.util.regex engine; the trigram compiler falls back
+                // to the guarded full scan (code-review r04).
+                throw ParseError(s"unsupported escape \\$c")
               case c => lit.append(c); pos += 1
             }
           case c => lit.append(c); pos += 1
@@ -169,30 +179,18 @@ object Regex {
       var first = true
       while (pos < s.length && (s.charAt(pos) != ']' || first)) {
         first = false
-        var lo: Char = s.charAt(pos)
-        if (lo == '\\' && pos + 1 < s.length) {
-          pos += 1
-          s.charAt(pos) match {
-            case 'd' => ranges += (('0', '9')); pos += 1; lo = 0
-            case 'w' => ranges ++= wordCls.ranges; pos += 1; lo = 0
-            case 's' => ranges ++= spaceCls.ranges; pos += 1; lo = 0
-            case 'S' => // [^\s\S]-style: approximate \S inside class as "everything else"
-              ranges += ((Char.MinValue, Char.MaxValue)); pos += 1; lo = 0
-            case 'D' | 'W' => ranges += ((Char.MinValue, Char.MaxValue)); pos += 1; lo = 0
-            case 'n' => lo = '\n'; pos += 1
-            case 't' => lo = '\t'; pos += 1
-            case 'r' => lo = '\r'; pos += 1
-            case 'a' => lo = '\u0007'; pos += 1
-            case 'f' => lo = '\f'; pos += 1
-            case 'v' => lo = '\u000b'; pos += 1
-            case 'x' => lo = hexEscape(); pos += 1
-            case c => lo = c; pos += 1
-          }
-          if (lo == 0) { /* meta class consumed */ }
-          else addRange(ranges, lo)
-        } else {
-          pos += 1
-          addRange(ranges, lo)
+        classAtom(ranges) match {
+          case None => () // meta class (\d \w \s ...): ranges appended directly
+          case Some(lo) =>
+            if (pos + 1 < s.length && s.charAt(pos) == '-' && s.charAt(pos + 1) != ']') {
+              pos += 1 // consume '-'
+              classAtom(ranges) match {
+                case Some(hi) =>
+                  if (hi < lo) throw ParseError(s"bad class range $lo-$hi")
+                  ranges += ((lo, hi))
+                case None => throw ParseError("meta class cannot bound a range")
+              }
+            } else ranges += ((lo, lo))
         }
       }
       if (pos >= s.length) throw ParseError("missing ]")
@@ -208,12 +206,40 @@ object Regex {
       else Cls(normalize(folded), negated)
     }
 
-    private def addRange(buf: scala.collection.mutable.ArrayBuffer[(Char, Char)], lo: Char): Unit = {
-      if (pos + 1 < s.length && s.charAt(pos) == '-' && s.charAt(pos + 1) != ']') {
-        val hi = s.charAt(pos + 1)
-        pos += 2
-        buf += ((lo, hi))
-      } else buf += ((lo, lo))
+    /** One class atom. Some(c): a single character (escapes resolved —
+      * may serve as a range bound, so `[\x41-\x5a]` parses as A-Z).
+      * None: a meta class (\d \w \s ...) whose ranges were appended to
+      * `buf` directly (cannot bound a range). A Boolean flag, not a
+      * lo==0 sentinel, so `[\x00]` keeps NUL (code-review r04). */
+    private def classAtom(
+        buf: scala.collection.mutable.ArrayBuffer[(Char, Char)]): Option[Char] = {
+      val c0 = s.charAt(pos)
+      if (c0 != '\\' || pos + 1 >= s.length) { pos += 1; Some(c0) }
+      else {
+        pos += 1
+        s.charAt(pos) match {
+          case 'd' => pos += 1; buf += (('0', '9')); None
+          case 'w' => pos += 1; buf ++= wordCls.ranges; None
+          case 's' => pos += 1; buf ++= spaceCls.ranges; None
+          case 'S' | 'D' | 'W' => // [^\s\S]-style: approximate as "everything"
+            pos += 1; buf += ((Char.MinValue, Char.MaxValue)); None
+          case 'n' => pos += 1; Some('\n')
+          case 't' => pos += 1; Some('\t')
+          case 'r' => pos += 1; Some('\r')
+          case 'a' => pos += 1; Some('\u0007')
+          case 'f' => pos += 1; Some('\f')
+          case 'e' => pos += 1; Some('\u001b')
+          // NOTE deliberately NO `case 'b'`: Perl/JS read [\b] as
+          // backspace, but java.util.regex REJECTS it ("Illegal/
+          // unsupported escape sequence", verified on this JVM) -- it
+          // falls through to the strict-reject arm so both engines
+          // refuse the pattern identically
+          case 'x' => val h = hexEscape(); pos += 1; Some(h)
+          case c if c.isLetterOrDigit =>
+            throw ParseError(s"unsupported escape \\$c in class")
+          case c => pos += 1; Some(c)
+        }
+      }
     }
 
     private def foldRange(a: Char, b: Char): Vector[(Char, Char)] = {

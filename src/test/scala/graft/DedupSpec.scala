@@ -228,4 +228,28 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.negPath.contains("tmp/"))
     assert(p.bool.nonEmpty)
   }
+
+  test("site:/path: regexp values keep parens intact (ADVICE r03)") {
+    val p = QueryParser.parse("dup path:(foo|bar)/x site:host(1|2)\\.example")
+    assert(p.path.contains("(foo|bar)/x"))
+    assert(p.site.contains("host(1|2)\\.example"))
+    assert(p.andTerms == Seq("dup"))
+  }
+
+  test("negation and filters inside paren groups classify by their core (r04)") {
+    // `(-foo` must NOT enter the boolean grammar (Text.tokenize would
+    // flip -foo into a POSITIVE term); the paren stays structural
+    val p = QueryParser.parse("(-foo bar) OR baz")
+    assert(p.negTerms == Seq("foo"))
+    assert(p.scoringTerms == Seq("bar", "baz"))
+    // `(lang:de` classifies as a lang filter, not a term
+    val q = QueryParser.parse("(lang:de foo) bar")
+    assert(q.lang.contains("de"))
+    assert(q.scoringTerms == Seq("bar", "foo"))
+    // trailing ')' peels off plain-term filter values back into the
+    // structural stream instead of polluting the value
+    val r = QueryParser.parse("xx (aa -lang:de) bb")
+    assert(r.negLang.contains("de"))
+    assert(r.scoringTerms == Seq("aa", "bb", "xx"))
+  }
 }

@@ -365,6 +365,19 @@ class EngineSpec extends AnyFunSuite {
     assert(re.map(urlOf) == Seq("https://host0.example/zmb1"))
   }
 
+  test("out-of-subset regexp syntax falls back to the guarded scan (r04)") {
+    val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
+      .select("docId", "text")
+    // \p{Lower} is outside the trigram compiler's parser subset: there is
+    // NO conservative candidate query (literalizing '\p' would build a
+    // non-conservative one) — candidates must decline…
+    assert(Search.regexpCandidates(spark, idx, "needle\\p{Upper}lpha").isEmpty)
+    // …and the full search still answers through the guarded scan, where
+    // the step-bounded java.util.regex fallback handles the syntax
+    assert(Search.regexpSearch(spark, idx, docsWithIds, "needle\\p{Upper}lpha")
+      .count() == 1)
+  }
+
   test("regexp full-scan fallback is guarded above maxScanDocs (dcs reject)") {
     val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
       .select("docId", "text")

@@ -179,6 +179,54 @@ class GrepMatchSpec extends AnyFunSuite {
     intercept[IllegalStateException] { fb.find("a" * 2000 + "b") }
   }
 
+  test("'$' agrees with java.util.regex on every line-terminator flavor") {
+    // default-mode '$' matches before ONE final terminator: \n, \r\n, \r,
+    // NEL, LS, PS — and nowhere else (r04: the old check was \n-only and
+    // silently missed CRLF corpora)
+    val m = graft.queries.Matcher.tryCompile("foo$").get
+    val p = java.util.regex.Pattern.compile("foo$")
+    val inputs = Seq("foo", "foo\n", "foo\r\n", "foo\r",
+      "foo" + 0x85.toChar, "foo" + 0x2028.toChar, "foo" + 0x2029.toChar,
+      "foo\n\n", "foo\r\nx", "foo\rx", "foo\n\r", "foo\n" + 0x85.toChar)
+    for (in <- inputs) {
+      val want = p.matcher(in).find()
+      assert(m.find(in) == want,
+        s"input=${in.map(c => f"<u+${c.toInt}%04x>").mkString} want=$want")
+    }
+  }
+
+  test("escapes outside the engine subset are rejected, not literalized") {
+    import graft.queries.{Matcher, RegexVerifier}
+    // r04: \1 is a BACKREFERENCE, \p{..}/\v/\Q..\E/\uHHHH are
+    // java.util.regex constructs the subset does not implement —
+    // literalizing them would silently change the match set
+    val outOfSubset = Seq("(a)\\1", "\\p{Digit}+", "\\v", "a\\Qb\\E",
+      "\\u0041", "[a\\v]", "[\\p{Digit}]", "[\\b]")
+    for (pat <- outOfSubset)
+      assert(Matcher.tryCompile(pat).isEmpty, s"/$pat/ must not take the NFA path")
+    // backreferences still answer through the step-bounded fallback
+    val v = new RegexVerifier("(a)\\1")
+    assert(!v.isLinear)
+    assert(v.find("xaax") && !v.find("aba"))
+    // [\b] is invalid in java.util.regex too (NOT backspace, as in
+    // Perl/JS) — both engines refuse the pattern identically
+    intercept[java.util.regex.PatternSyntaxException](new RegexVerifier("[\\b]"))
+  }
+
+  test("class atoms: escaped range bounds, NUL, meta-class bounds") {
+    import graft.queries.Matcher
+    // r04 parseClass rewrite: \x41 may bound a range ([\x41-\x5a] == A-Z)
+    val hex = Matcher.tryCompile("[\\x41-\\x5a]+").get
+    assert(hex.find("mnoPQRstu") && !hex.find("mnostu"))
+    // \x00 is a real NUL atom, not a consumed-meta-class sentinel
+    val nul = Matcher.tryCompile("[\\x00]").get
+    assert(nul.find("a" + 0.toChar + "b") && !nul.find("ab"))
+    // a meta class cannot bound a range (java.util.regex rejects it too)
+    assert(Matcher.tryCompile("[a-\\d]").isEmpty)
+    intercept[java.util.regex.PatternSyntaxException](
+      java.util.regex.Pattern.compile("[a-\\d]"))
+  }
+
   test("grepContext agrees with the line goldens (reference grepTests)") {
     val spark = TestSpark.spark
     val df = spark.createDataFrame(Seq(

@@ -60,6 +60,37 @@ class ResumeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition(s) 2"))
   }
 
+  test("load detects STALE lineage sidecars beyond the committed partitions") {
+    // r04: a prior wider build attempt leaving part-N.json for N >=
+    // partitions would make lineage() double-count — load must refuse
+    val dir = tmpDir()
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    val src = new java.io.File(s"$dir/_lineage/postings/part-0.json").toPath
+    val stale = new java.io.File(s"$dir/_lineage/postings/part-9.json").toPath
+    java.nio.file.Files.copy(src, stale)
+    val e = intercept[IllegalArgumentException](IndexBuilder.load(spark, dir))
+    assert(e.getMessage.contains("STALE"))
+    assert(e.getMessage.contains("9"))
+  }
+
+  test("a fresh encode clears stale sidecars first (r04 clearLineage)") {
+    val dir = tmpDir()
+    // pre-place garbage sidecars as if a wider prior attempt crashed here
+    for (stage <- Seq("postings", "trigrams")) {
+      val d = new java.io.File(s"$dir/_lineage/$stage"); d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "part-9.json").toPath, "{\"rows\":1}")
+    }
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    IndexBuilder.buildPersistent(spark, docs, dir, cfg)
+    assert(!new java.io.File(s"$dir/_lineage/postings/part-9.json").exists())
+    assert(!new java.io.File(s"$dir/_lineage/trigrams/part-9.json").exists())
+    assert(IndexBuilder.load(spark, dir).meta.nDocs == 300) // validates clean
+  }
+
   test("crash-suffix resume reruns only uncommitted stages") {
     val dir = tmpDir()
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")

@@ -79,6 +79,14 @@ class TrigramCompilerSpec extends AnyFunSuite {
     assert(failures.isEmpty, "\n" + failures.mkString("\n"))
   }
 
+  test("out-of-subset syntax raises ParseError instead of a wrong query (r04)") {
+    // a backreference literalized as '1' would produce a candidate query
+    // that is NOT conservative (misses 'aa' docs for /(a)\1/) — the
+    // compiler must refuse so the search layer falls back to the scan
+    for (pat <- Seq("(a)\\1", "\\p{Digit}+", "a\\Qb\\E", "\\v"))
+      intercept[graft.queries.Regex.ParseError](TrigramCompiler.compile(pat))
+  }
+
   test("conservativeness property: matching strings satisfy the query") {
     // for random strings that MATCH the regex, the trigram query must be
     // satisfied by the string's trigram set (the core soundness invariant)
