@@ -147,7 +147,9 @@ object Regex {
     }
 
     private val wordCls = Cls(Vector(('0', '9'), ('A', 'Z'), ('_', '_'), ('a', 'z')), negated = false)
-    private val spaceCls = Cls(Vector(('\t', '\n'), ('\f', '\r'), (' ', ' ')), negated = false)
+    // \t..\r == 0x09-0x0D: java.util.regex \s is [ \t\n\x0B\f\r] — the
+    // vertical tab IS included (an earlier \t\n + \f\r split dropped it)
+    private val spaceCls = Cls(Vector(('\t', '\r'), (' ', ' ')), negated = false)
 
     /** \xHH — pos points at 'x' on entry and at the last hex digit on
       * exit (the caller advances past it). */

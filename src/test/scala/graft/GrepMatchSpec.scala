@@ -225,6 +225,13 @@ class GrepMatchSpec extends AnyFunSuite {
     assert(Matcher.tryCompile("[a-\\d]").isEmpty)
     intercept[java.util.regex.PatternSyntaxException](
       java.util.regex.Pattern.compile("[a-\\d]"))
+    // \s includes VERTICAL TAB 0x0B (java \s == [ \t\n\x0B\f\r]; a
+    // two-range class split once dropped it — caught by the r04 fuzz)
+    val vt = ("a" + 0x0b.toChar + "b", "a_b")
+    assert(Matcher.tryCompile("a\\sb").get.find(vt._1))
+    assert(!Matcher.tryCompile("a\\sb").get.find(vt._2))
+    assert(Matcher.tryCompile("a[\\s]b").get.find(vt._1))
+    assert(!Matcher.tryCompile("a\\Sb").get.find(vt._1))
   }
 
   test("grepContext agrees with the line goldens (reference grepTests)") {

@@ -43,20 +43,23 @@ class RegexFuzzSpec extends AnyFunSuite {
   }
 
   private def randPattern(r: scala.util.Random, depth: Int): String = {
-    def atom(): String = r.nextInt(10) match {
+    def atom(): String = r.nextInt(12) match {
       case 0 | 1 | 2 | 3 => ("abc" (r.nextInt(3))).toString
       case 4 => "."
       case 5 => // small class, maybe negated, maybe a range
         val neg = if (r.nextBoolean()) "^" else ""
-        val body = r.nextInt(3) match {
+        val body = r.nextInt(5) match {
           case 0 => "ab"
           case 1 => "a-c"
           case 2 => "b-cx"
+          case 3 => "\\x61-\\x63" // a-c via escaped hex bounds (r04)
+          case 4 => "\\dx" // meta class inside a class (r04)
         }
         s"[$neg$body]"
       case 6 if depth > 0 => "(" + randPattern(r, depth - 1) + ")"
       case 7 if depth > 0 =>
         "(" + randPattern(r, depth - 1) + "|" + randPattern(r, depth - 1) + ")"
+      case 8 => Seq("\\d", "\\w", "\\s", "\\W", "\\S")(r.nextInt(5))
       case _ => ("abcx" (r.nextInt(4))).toString
     }
     val n = 1 + r.nextInt(4)
@@ -108,7 +111,11 @@ class RegexFuzzSpec extends AnyFunSuite {
   }
 
   private def randInput(r: scala.util.Random): String = {
-    val alphabet = "aabbccx \n"
+    // beyond letters: digits/uppercase (exercise \d \w folds), CR + NEL
+    // (the '$'-before-terminator and '.'-excludes-terminator cases, r04),
+    // and vertical tab (inside java's \s — a one-char class-range slip
+    // this fuzz caught)
+    val alphabet = "aabbccx \naB7\r" + 0x85.toChar + 0x0b.toChar
     val n = r.nextInt(40)
     val sb = new StringBuilder
     (0 until n).foreach(_ => sb += alphabet(r.nextInt(alphabet.length)))
