@@ -436,9 +436,14 @@ object IndexBuilder {
       spark: SparkSession,
       toks: DataFrame,
       dps: Long,
-      cfg: Config): Dataset[PostingBlock] = {
+      cfg: Config,
+      stage: String = "postings"): Dataset[PostingBlock] = {
+    // `stage` labels the lineage sidecars: IndexMerger.reencodeTri routes
+    // TRIGRAM occurrences through this encoder, and a hardcoded
+    // "postings" label would both clear and overwrite the real postings
+    // sidecars with trigram stats (code-review r04)
     import spark.implicits._
-    clearLineage(cfg.lineageDir, "postings") // driver-side: drop stale sidecars
+    clearLineage(cfg.lineageDir, stage) // driver-side: drop stale sidecars
     val sorted = toks
       .repartition(cfg.partitions, col("shard"))
       .sortWithinPartitions("shard", "doc", "pos")
@@ -458,7 +463,7 @@ object IndexBuilder {
         indexer.add(term, doc, pos)
       }
       flush()
-      writeLineage(cfg.lineageDir, "postings", rows, blocks.iterator.map(_.term).toSet.size.toLong,
+      writeLineage(cfg.lineageDir, stage, rows, blocks.iterator.map(_.term).toSet.size.toLong,
         blocks.length,
         blocks.iterator.map(b => b.docs.length.toLong + b.tfs.length + b.pos.length).sum,
         System.currentTimeMillis() - t0)

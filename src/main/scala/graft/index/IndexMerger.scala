@@ -192,7 +192,7 @@ object IndexMerger {
     val asTerm = occs.select(
       format_string("%06X", col("tri")).as("term"),
       col("shard"), col("doc"), col("pos"))
-    IndexBuilder.encodeOccurrences(spark, asTerm, dps, cfg).map { b =>
+    IndexBuilder.encodeOccurrences(spark, asTerm, dps, cfg, stage = "trigrams").map { b =>
       val tri = Integer.parseInt(b.term, 16)
       val noPos = tri == graft.functions.Text.AllSpaces
       TriBlock(tri, b.shard, b.blockId, b.df, b.firstDoc, b.lastDoc, b.docs,

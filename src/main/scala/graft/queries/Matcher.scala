@@ -65,7 +65,10 @@ final class Matcher private[queries] (
         else {
           val c0 = s.charAt(pos)
           if (pos == len - 1)
-            c0 == '\n' || c0 == '\r' || c0 == '\u0085' ||
+            // NOT between the \r and \n of a final CRLF \u2014 java.util.regex
+            // refuses that position (code-review r04, verified)
+            (c0 == '\n' && (pos == 0 || s.charAt(pos - 1) != '\r')) ||
+              c0 == '\r' || c0 == '\u0085' ||
               c0 == '\u2028' || c0 == '\u2029'
           else pos == len - 2 && c0 == '\r' && s.charAt(pos + 1) == '\n'
         }

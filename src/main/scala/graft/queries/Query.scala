@@ -89,19 +89,41 @@ object QueryParser {
       // negations and lang: values are plain terms — peel trailing ')'
       // runs back into the structural stream; site:/path: values are
       // REGEXPS and may legitimately contain parens (ADVICE r03), so
-      // they keep the remainder intact
+      // they keep only BALANCED parens: a trailing ')' beyond the
+      // value's own open-paren count is the structural close of a
+      // `(site:x)` group, not regexp syntax (code-review r04)
       def plain(v: String): String = {
         val close = v.length - v.reverse.dropWhile(_ == ')').length
         if (close > 0) structural += ")" * close
         v.dropRight(close)
       }
+      def regexVal(v0: String): String = {
+        // backslash-escaped parens are regexp literals, not structure
+        def unescaped(v: String, c: Char): Int = {
+          var i = 0; var n = 0
+          while (i < v.length) {
+            if (v.charAt(i) == '\\') i += 2
+            else { if (v.charAt(i) == c) n += 1; i += 1 }
+          }
+          n
+        }
+        def endsUnescaped(v: String): Boolean =
+          v.endsWith(")") && !v.dropRight(1).endsWith("\\")
+        var v = v0
+        var closes = 0
+        while (endsUnescaped(v) && unescaped(v, ')') > unescaped(v, '(')) {
+          v = v.dropRight(1); closes += 1
+        }
+        if (closes > 0) structural += ")" * closes
+        v
+      }
       raw.drop(open.length) match {
         case t if t.toLowerCase.startsWith("lang:") => lang = Some(plain(t.drop(5)).toLowerCase)
-        case t if t.toLowerCase.startsWith("site:") => site = Some(t.drop(5)) // regexp: keep case
-        case t if t.toLowerCase.startsWith("path:") => path = Some(t.drop(5))
+        case t if t.toLowerCase.startsWith("site:") => site = Some(regexVal(t.drop(5))) // regexp: keep case
+        case t if t.toLowerCase.startsWith("path:") => path = Some(regexVal(t.drop(5)))
         case t if t.toLowerCase.startsWith("-lang:") => negLang = Some(plain(t.drop(6)).toLowerCase)
-        case t if t.toLowerCase.startsWith("-site:") => negSite = Some(t.drop(6))
-        case t if t.toLowerCase.startsWith("-path:") => negPath = Some(t.drop(6))
+        case t if t.toLowerCase.startsWith("-site:") => negSite = Some(regexVal(t.drop(6)))
+        case t if t.toLowerCase.startsWith("-path:") => negPath = Some(regexVal(t.drop(6)))
         case t if t.startsWith("-") && t.length > 1 => neg ++= Text.tokenize(plain(t.drop(1)))
         case t => if (t.nonEmpty) structural += t
       }

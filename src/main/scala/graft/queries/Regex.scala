@@ -97,11 +97,25 @@ object Regex {
               m match {
                 case Some(g) =>
                   val a = flushLastForRepeat()
-                  val min = g.group(1).toInt
+                  // RE2-style cap: huge bounds would overflow Int (raw
+                  // NumberFormatException escaping every ParseError
+                  // handler) or expand the NFA unboundedly — reject, so
+                  // tryCompile declines and the step-bounded
+                  // java.util.regex fallback serves the pattern
+                  // (code-review r04)
+                  def bound(d: String): Int =
+                    if (d.length > 4 || d.toInt > 1000)
+                      throw ParseError(s"repetition bound $d too large")
+                    else d.toInt
+                  val min = bound(g.group(1))
                   val max =
                     if (g.group(2) == null) min
                     else if (g.group(3).isEmpty) -1
-                    else g.group(3).toInt
+                    else bound(g.group(3))
+                  // java.util.regex rejects inverted ranges; silently
+                  // serving {m} for {5,2} would diverge (code-review r04)
+                  if (max >= 0 && max < min)
+                    throw ParseError(s"bad repetition range {$min,$max}")
                   subs += Rep(a, min, max)
                   pos = close + 1
                 case None => lit.append('{'); pos += 1

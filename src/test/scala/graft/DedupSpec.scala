@@ -252,4 +252,18 @@ class QueryParserSpec extends AnyFunSuite {
     assert(r.negLang.contains("de"))
     assert(r.scoringTerms == Seq("aa", "bb", "xx"))
   }
+
+  test("(site:x) peels only the UNBALANCED close paren off regexp values (r04)") {
+    // `(site:x)`: the ')' is the structural group close, not regexp syntax
+    val p = QueryParser.parse("(site:example\\.com foo) bar")
+    assert(p.site.contains("example\\.com"))
+    assert(p.scoringTerms == Seq("bar", "foo"))
+    val q = QueryParser.parse("(path:(a|b) xx) foo")
+    assert(q.path.contains("(a|b)")) // balanced parens stay in the value
+    assert(q.scoringTerms == Seq("foo", "xx"))
+    // an ESCAPED trailing \) is regexp syntax and stays
+    val r = QueryParser.parse("dup -path:tmp\\)")
+    assert(r.negPath.contains("tmp\\)"))
+    assert(r.andTerms == Seq("dup"))
+  }
 }

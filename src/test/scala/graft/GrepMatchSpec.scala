@@ -193,6 +193,34 @@ class GrepMatchSpec extends AnyFunSuite {
       assert(m.find(in) == want,
         s"input=${in.map(c => f"<u+${c.toInt}%04x>").mkString} want=$want")
     }
+    // '$' must NOT match BETWEEN the \r and \n of a final CRLF — Java
+    // refuses that position (second-pass code-review r04)
+    val m2 = graft.queries.Matcher.tryCompile("a\\r$").get
+    val p2 = java.util.regex.Pattern.compile("a\\r$")
+    for (in <- Seq("a\r\n", "a\r", "a\r\nx", "a\r" + 0x85.toChar))
+      assert(m2.find(in) == p2.matcher(in).find(),
+        s"a\\r$$ on ${in.map(c => f"<u+${c.toInt}%04x>").mkString}")
+  }
+
+  test("repetition bounds: overflow, RE2-style cap, inverted range") {
+    import graft.queries.{Matcher, RegexVerifier}
+    // a bound that overflows Int must raise ParseError, not a raw
+    // NumberFormatException escaping every handler (code-review r04);
+    // java.util.regex also rejects it, so the verifier errors cleanly
+    assert(Matcher.tryCompile("a{99999999999}").isEmpty)
+    intercept[java.util.regex.PatternSyntaxException](
+      new RegexVerifier("a{99999999999}"))
+    // inverted range: Java rejects {5,2}; silently serving {5} diverges
+    assert(Matcher.tryCompile("a{5,2}").isEmpty)
+    intercept[java.util.regex.PatternSyntaxException](
+      new RegexVerifier("a{5,2}"))
+    // above the RE2-style 1000 cap the NFA declines but the step-bounded
+    // fallback still serves the pattern (Java accepts it)
+    assert(Matcher.tryCompile("a{1001}").isEmpty)
+    val v = new RegexVerifier("a{1001}")
+    assert(!v.isLinear && v.find("a" * 1001) && !v.find("a" * 1000))
+    // at the cap the linear path still takes it
+    assert(Matcher.tryCompile("a{3,1000}").nonEmpty)
   }
 
   test("escapes outside the engine subset are rejected, not literalized") {

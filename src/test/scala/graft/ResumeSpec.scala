@@ -91,6 +91,34 @@ class ResumeSpec extends AnyFunSuite {
     assert(IndexBuilder.load(spark, dir).meta.nDocs == 300) // validates clean
   }
 
+  test("general merge labels lineage sidecars by stage (r04)") {
+    // reencodeTri routes trigram occurrences through encodeOccurrences;
+    // a hardcoded 'postings' stage label would clear and then overwrite
+    // the postings sidecars with trigram stats
+    val ldir = tmpDir()
+    val docs = PageGen.pages(spark, 200, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 2)
+    val parts = Seq(
+      IndexBuilder.build(spark, docs.limit(100), cfg),
+      IndexBuilder.build(spark, docs.limit(100), cfg))
+    val merged = graft.index.IndexMerger.mergeGeneralForBench(
+      spark, parts, cfg.copy(lineageDir = Some(ldir)))
+    val nPost = merged.postings.count()
+    assert(nPost > 0)
+    merged.trigrams.foreach(t => assert(t.count() > 0))
+    val post = new java.io.File(s"$ldir/postings").listFiles()
+    val tri = new java.io.File(s"$ldir/trigrams").listFiles()
+    assert(post != null && post.nonEmpty, "postings sidecars present")
+    assert(tri != null && tri.nonEmpty, "trigram sidecars present")
+    // the postings sidecars describe the POSTING encode, not the trigram
+    // one: their block count must add up to the posting block count
+    val blocks = post.map { f =>
+      val j = java.nio.file.Files.readString(f.toPath)
+      "\"blocks\":(\\d+)".r.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+    }.sum
+    assert(blocks == nPost, s"postings sidecars record $blocks blocks, posting set has $nPost")
+  }
+
   test("crash-suffix resume reruns only uncommitted stages") {
     val dir = tmpDir()
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
