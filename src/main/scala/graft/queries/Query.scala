@@ -86,37 +86,46 @@ object QueryParser {
       // foo — code-review r04); the parens stay structural
       val open = raw.takeWhile(_ == '(')
       if (open.nonEmpty) structural += open
-      // negations and lang: values are plain terms — peel trailing ')'
-      // runs back into the structural stream; site:/path: values are
-      // REGEXPS and may legitimately contain parens (ADVICE r03), so
-      // they keep only BALANCED parens: a trailing ')' beyond the
-      // value's own open-paren count is the structural close of a
-      // `(site:x)` group, not regexp syntax (code-review r04)
-      def plain(v: String): String = {
-        val close = v.length - v.reverse.dropWhile(_ == ')').length
-        if (close > 0) structural += ")" * close
-        v.dropRight(close)
-      }
-      def regexVal(v0: String): String = {
-        // backslash-escaped parens are regexp literals, not structure
-        def unescaped(v: String, c: Char): Int = {
-          var i = 0; var n = 0
-          while (i < v.length) {
-            if (v.charAt(i) == '\\') i += 2
-            else { if (v.charAt(i) == c) n += 1; i += 1 }
-          }
-          n
+      // filter values give surrounding STRUCTURAL parens back to the
+      // grammar under ONE balance rule (2nd-pass code-review r04): a
+      // trailing ')' run beyond the value's own unescaped open-paren
+      // count closes a `(site:x)` / `lang:(de)` group; anything balanced
+      // (`site:(a|b)`) or backslash-escaped (`path:tmp\)`) is value
+      // syntax. Escapes only occur in the regexp-valued filters, where
+      // dcs compiles the value with regexp.Compile; for plain values the
+      // escape-awareness is simply inert.
+      def unescapedCount(v: String, c: Char): Int = {
+        var i = 0; var n = 0
+        while (i < v.length) {
+          if (v.charAt(i) == '\\') i += 2
+          else { if (v.charAt(i) == c) n += 1; i += 1 }
         }
-        def endsUnescaped(v: String): Boolean =
-          v.endsWith(")") && !v.dropRight(1).endsWith("\\")
-        var v = v0
-        var closes = 0
-        while (endsUnescaped(v) && unescaped(v, ')') > unescaped(v, '(')) {
+        n
+      }
+      def endsUnescaped(v: String): Boolean = {
+        if (!v.endsWith(")")) false
+        else { // escaped iff preceded by an ODD backslash run
+          var bs = 0; var i = v.length - 2
+          while (i >= 0 && v.charAt(i) == '\\') { bs += 1; i -= 1 }
+          bs % 2 == 0
+        }
+      }
+      def peelTrailing(v0: String): String = {
+        var v = v0; var closes = 0
+        while (endsUnescaped(v) && unescapedCount(v, ')') > unescapedCount(v, '(')) {
           v = v.dropRight(1); closes += 1
         }
         if (closes > 0) structural += ")" * closes
         v
       }
+      // plain values additionally peel a LEADING '(' run (`lang:(de)`);
+      // regexp values keep it — a leading '(' there is a regexp group
+      def plain(v0: String): String = {
+        val vOpen = v0.takeWhile(_ == '(')
+        if (vOpen.nonEmpty) structural += vOpen
+        peelTrailing(v0.drop(vOpen.length))
+      }
+      def regexVal(v0: String): String = peelTrailing(v0)
       raw.drop(open.length) match {
         case t if t.toLowerCase.startsWith("lang:") => lang = Some(plain(t.drop(5)).toLowerCase)
         case t if t.toLowerCase.startsWith("site:") => site = Some(regexVal(t.drop(5))) // regexp: keep case
@@ -237,7 +246,24 @@ object QueryParser {
       else if (atoms.size == 1) Some(atoms.head)
       else Some(BoolQuery.And(atoms.toSeq))
     }
-    val tree = parseExpr()
+    // orphan top-level ')' tokens (user typo, or a group whose open
+    // paren a filter consumed) must not silently swallow the REST of the
+    // query: skip them and AND the remainder in (2nd-pass code-review r04)
+    val tree = {
+      var t = parseExpr()
+      while (pos < toks.length) {
+        if (toks(pos) == ")") pos += 1
+        else parseExpr() match {
+          case Some(more) => t = t match {
+            case None => Some(more)
+            case Some(BoolQuery.And(subs)) => Some(BoolQuery.And(subs :+ more))
+            case Some(one) => Some(BoolQuery.And(Seq(one, more)))
+          }
+          case None => pos += 1 // cannot advance otherwise
+        }
+      }
+      t
+    }
 
     def flatTerms(subs: Seq[BoolQuery]): Option[Seq[String]] =
       if (subs.forall(_.isInstanceOf[BoolQuery.Term]))

@@ -165,6 +165,23 @@ object Regex {
     // vertical tab IS included (an earlier \t\n + \f\r split dropped it)
     private val spaceCls = Cls(Vector(('\t', '\r'), (' ', ' ')), negated = false)
 
+    /** Exact interval complement over the full char range; input ranges
+      * must be sorted and disjoint (the meta-class constants are). */
+    private def complementRanges(rs: Seq[(Char, Char)]): Vector[(Char, Char)] = {
+      val out = Vector.newBuilder[(Char, Char)]
+      var next = Char.MinValue
+      var open = true // still room left at/after `next`
+      rs.foreach { case (lo, hi) =>
+        if (open) {
+          if (lo > next) out += ((next, (lo - 1).toChar))
+          if (hi == Char.MaxValue) open = false
+          else next = (hi + 1).toChar
+        }
+      }
+      if (open) out += ((next, Char.MaxValue))
+      out.result()
+    }
+
     /** \xHH — pos points at 'x' on entry and at the last hex digit on
       * exit (the caller advances past it). */
     private def hexEscape(): Char = {
@@ -217,9 +234,13 @@ object Regex {
             Vector((a, b)) ++ foldRange(a, b)
           }
         else ranges.toVector
-      // [^\s\S]: negated class whose ranges cover everything -> no match
-      if (negated && coversAll(folded)) NoMatch
-      else Cls(normalize(folded), negated)
+      // [^\s\S]: negated class whose ranges cover everything -> no match.
+      // Detect on the NORMALIZED ranges: \S etc. contribute multi-piece
+      // complements that only merge to (MinValue,MaxValue) after
+      // adjacency coalescing (2nd-pass code-review r04)
+      val norm = normalize(folded)
+      if (negated && coversAll(norm)) NoMatch
+      else Cls(norm, negated)
     }
 
     /** One class atom. Some(c): a single character (escapes resolved —
@@ -237,8 +258,14 @@ object Regex {
           case 'd' => pos += 1; buf += (('0', '9')); None
           case 'w' => pos += 1; buf ++= wordCls.ranges; None
           case 's' => pos += 1; buf ++= spaceCls.ranges; None
-          case 'S' | 'D' | 'W' => // [^\s\S]-style: approximate as "everything"
-            pos += 1; buf += ((Char.MinValue, Char.MaxValue)); None
+          case 'D' => pos += 1; buf ++= complementRanges(Vector(('0', '9'))); None
+          case 'W' => pos += 1; buf ++= complementRanges(wordCls.ranges); None
+          case 'S' =>
+            // negated metas in a class are EXACT interval complements —
+            // the old "everything" approximation made 'x[\D]' match "x5"
+            // and compiled '[^\W]' to match-nothing, silent divergences
+            // from java.util.regex (2nd-pass code-review r04)
+            pos += 1; buf ++= complementRanges(spaceCls.ranges); None
           case 'n' => pos += 1; Some('\n')
           case 't' => pos += 1; Some('\t')
           case 'r' => pos += 1; Some('\r')

@@ -266,4 +266,24 @@ class QueryParserSpec extends AnyFunSuite {
     assert(r.negPath.contains("tmp\\)"))
     assert(r.andTerms == Seq("dup"))
   }
+
+  test("paren edges: lang:(de), -(term), escaped runs, orphan ')' (r04 2nd pass)") {
+    // a parenthesized PLAIN filter value peels both sides structurally
+    val p = QueryParser.parse("lang:(de) foo")
+    assert(p.lang.contains("de"))
+    assert(p.andTerms == Seq("foo"))
+    // a parenthesized negation must not leak a stray structural ')'
+    // that swallows the rest of the query
+    val n = QueryParser.parse("a -(xyz) d")
+    assert(n.negTerms == Seq("xyz"))
+    assert(n.scoringTerms == Seq("a", "d"))
+    // escapedness is backslash-RUN parity: 'a\\' ends in an escaped
+    // backslash, so the final ')' IS structural
+    val e = QueryParser.parse("(site:a\\\\) b")
+    assert(e.site.contains("a\\\\"))
+    assert(e.scoringTerms == Seq("b"))
+    // a bare orphan ')' is skipped, not a query truncation
+    val o = QueryParser.parse("aa ) dd")
+    assert(o.scoringTerms == Seq("aa", "dd"))
+  }
 }

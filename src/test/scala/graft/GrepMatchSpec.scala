@@ -239,6 +239,18 @@ class GrepMatchSpec extends AnyFunSuite {
     // [\b] is invalid in java.util.regex too (NOT backspace, as in
     // Perl/JS) — both engines refuse the pattern identically
     intercept[java.util.regex.PatternSyntaxException](new RegexVerifier("[\\b]"))
+    // NEGATED meta classes INSIDE a class compile to EXACT interval
+    // complements on the linear path (2nd-pass code-review r04: the old
+    // "everything" approximation made 'x[\D]' match "x5" and '[^\W]'
+    // match nothing)
+    for ((pat, yes, no) <- Seq(("x[\\D]", "x!", "x5"), ("[^\\W]", "a", "!"),
+      ("[\\S]", "a", " "), ("q[^\\D2]", "q7", "qx"))) {
+      val m = Matcher.tryCompile(pat)
+      assert(m.nonEmpty, s"/$pat/ must stay on the NFA path")
+      assert(m.get.find(yes) === java.util.regex.Pattern.compile(pat).matcher(yes).find())
+      assert(m.get.find(yes) && !m.get.find(no), s"/$pat/")
+    }
+    assert(!Matcher.tryCompile("[^\\S\\s]").get.find("abcd 123")) // empty set
   }
 
   test("class atoms: escaped range bounds, NUL, meta-class bounds") {

@@ -48,12 +48,14 @@ class RegexFuzzSpec extends AnyFunSuite {
       case 4 => "."
       case 5 => // small class, maybe negated, maybe a range
         val neg = if (r.nextBoolean()) "^" else ""
-        val body = r.nextInt(5) match {
+        val body = r.nextInt(7) match {
           case 0 => "ab"
           case 1 => "a-c"
           case 2 => "b-cx"
           case 3 => "\\x61-\\x63" // a-c via escaped hex bounds (r04)
           case 4 => "\\dx" // meta class inside a class (r04)
+          case 5 => "\\D" // negated meta: exact interval complement (r04)
+          case 6 => "a\\S"
         }
         s"[$neg$body]"
       case 6 if depth > 0 => "(" + randPattern(r, depth - 1) + ")"
