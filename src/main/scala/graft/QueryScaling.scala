@@ -60,18 +60,10 @@ object QueryScaling {
       a
     }
 
-    /** deterministic query mix: 1-3 vocab terms per query, rank-skewed. */
-    def batchQueries(spark: SparkSession, q: Int) = {
-      val rnd = new scala.util.Random(99)
-      val rows = (0 until q).map { i =>
-        val n = 1 + rnd.nextInt(3)
-        (i.toLong, Seq.fill(n)(PageGen.vocab(rnd.nextInt(2000))))
-      }
-      spark.createDataFrame(rows).toDF("qid", "terms")
-    }
-
     def qpsBatch(cores: Int): Double = withIndex(cores) { (spark, idx) =>
-      val q = batchQueries(spark, qOrSecs)
+      // deterministic rank-skewed mix, shared with ClusterQuery so the
+      // single-JVM and multi-executor-JVM records use the SAME query set
+      val q = graft.tools.PseudoCluster.queryMix(spark, qOrSecs)
       Search.topKBatch(spark, idx, q, 10).count() // warm
       val t0 = System.nanoTime()
       Search.topKBatch(spark, idx, q, 10).count()

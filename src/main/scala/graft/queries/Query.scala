@@ -94,26 +94,44 @@ object QueryParser {
       // syntax. Escapes only occur in the regexp-valued filters, where
       // dcs compiles the value with regexp.Compile; for plain values the
       // escape-awareness is simply inert.
-      def unescapedCount(v: String, c: Char): Int = {
-        var i = 0; var n = 0
+      /** One left-to-right scan of a value: unescaped paren counts
+        * OUTSIDE character classes (`[)]` is a class member, not
+        * structure — 3rd-pass code-review r04), plus whether the final
+        * char was scanned as a structural ')'. */
+      def scanParens(v: String): (Int, Int, Boolean) = {
+        var i = 0; var opens = 0; var closes = 0
+        var inClass = false; var classStart = -1
+        var lastStructClose = false
         while (i < v.length) {
-          if (v.charAt(i) == '\\') i += 2
-          else { if (v.charAt(i) == c) n += 1; i += 1 }
+          val c = v.charAt(i)
+          lastStructClose = false
+          if (c == '\\') i += 2
+          else {
+            if (inClass) {
+              // ']' right after '[' or '[^' is a literal member (regexp
+              // class syntax), otherwise it closes the class
+              if (c == ']' && i > classStart + 1 &&
+                !(i == classStart + 2 && v.charAt(classStart + 1) == '^'))
+                inClass = false
+            } else c match {
+              case '[' => inClass = true; classStart = i
+              case '(' => opens += 1
+              case ')' => closes += 1; lastStructClose = i == v.length - 1
+              case _ => ()
+            }
+            i += 1
+          }
         }
-        n
-      }
-      def endsUnescaped(v: String): Boolean = {
-        if (!v.endsWith(")")) false
-        else { // escaped iff preceded by an ODD backslash run
-          var bs = 0; var i = v.length - 2
-          while (i >= 0 && v.charAt(i) == '\\') { bs += 1; i -= 1 }
-          bs % 2 == 0
-        }
+        (opens, closes, lastStructClose)
       }
       def peelTrailing(v0: String): String = {
         var v = v0; var closes = 0
-        while (endsUnescaped(v) && unescapedCount(v, ')') > unescapedCount(v, '(')) {
-          v = v.dropRight(1); closes += 1
+        var s = scanParens(v)
+        // v.length > 1: never peel a value to EMPTY — `site:)` keeps its
+        // ')' and fails visibly at regexp compile instead of silently
+        // becoming a match-everything filter (3rd-pass code-review r04)
+        while (s._3 && s._2 > s._1 && v.length > 1) {
+          v = v.dropRight(1); closes += 1; s = scanParens(v)
         }
         if (closes > 0) structural += ")" * closes
         v

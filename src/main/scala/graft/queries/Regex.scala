@@ -302,7 +302,10 @@ object Regex {
     private def normalize(rs: Vector[(Char, Char)]): Vector[(Char, Char)] =
       rs.sortBy(_._1).foldLeft(Vector.empty[(Char, Char)]) { (acc, r) =>
         acc.lastOption match {
-          case Some((a, b)) if r._1 <= (b + 1).toChar && b >= r._1 - 1 =>
+          // Int arithmetic: (b + 1).toChar wraps to 0 at Char.MaxValue,
+          // which left overlapping ranges unmerged (e.g. [\Sa] kept a
+          // redundant (a,a) inside (!,￿) — 3rd-pass code-review r04)
+          case Some((a, b)) if r._1.toInt <= b.toInt + 1 =>
             acc.init :+ ((a, if (r._2 > b) r._2 else b))
           case _ => acc :+ r
         }

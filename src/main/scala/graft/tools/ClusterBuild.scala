@@ -30,59 +30,8 @@ object ClusterBuild {
     val tag = args.lift(4).getOrElse("run")
     val totalCores = workers * cores
     val nHigh = sys.env.getOrElse("SPARK_GRAFT_NHIGH", "16").toInt
-    val execMem = memMB - 1024 // headroom inside the worker budget
-    new java.io.File("/dev/shm/graft-spark").mkdirs()
-    // executors are fresh JVMs launched from SPARK_HOME: they need our
-    // classes on their classpath, the JDK17 module opens, and the same
-    // GC discipline as the pinned single-JVM record (Xms=Xmx pre-touched
-    // ParallelGC — BENCH/BASELINE.md §0a's config B)
-    val classes = sys.env.getOrElse("SPARK_GRAFT_CLASSES",
-      new java.io.File("target/scala-2.13/classes").getAbsolutePath)
-    // per-level JVM sizing: the harness passes -XX:ActiveProcessorCount=C
-    // here so GC/JIT thread pools match the EXECUTOR's core budget, not
-    // the 32-vCPU host — external `taskset -a -p` lands only after the
-    // JVM booted, too late for thread-pool sizing (the G1-under-taskset
-    // artifact of BENCH/BASELINE.md §0a, solved at the root this time)
-    val extraOpts = sys.env.getOrElse("SPARK_GRAFT_EXEC_EXTRAOPTS", "")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    val spark = SparkSession.builder()
-      .master(s"local-cluster[$workers,$cores,$memMB]")
-      .appName(s"graft-clusterbuild-${workers}x$cores")
-      .config("spark.executor.memory", s"${execMem}m")
-      .config("spark.executor.extraClassPath", classes)
-      .config("spark.executor.extraJavaOptions",
-        s"$addOpens -Xms${execMem}m -XX:+AlwaysPreTouch -XX:+UseParallelGC $extraOpts")
-      .config("spark.sql.shuffle.partitions", (totalCores * 4).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // wait for every executor to register (heap pre-touch happens at
-    // executor startup — outside the timed builds)
-    val deadline = System.nanoTime() + 300e9.toLong
-    while (spark.sparkContext.getExecutorMemoryStatus.size < workers + 1 &&
-        System.nanoTime() < deadline) Thread.sleep(200)
-    println(s"[clusterbuild] executors=${spark.sparkContext.getExecutorMemoryStatus.size - 1}")
-    // external-pinning rendezvous: the harness pins each executor JVM to
-    // its own core set (taskset -a -p) once they exist, then creates the
-    // marker file; nothing below (warmup included) runs before that
-    sys.env.get("SPARK_GRAFT_PINFILE").foreach { pf =>
-      println(s"[clusterbuild] waiting for pin marker $pf")
-      val pinDeadline = System.nanoTime() + 180e9.toLong
-      while (!new java.io.File(pf).exists() && System.nanoTime() < pinDeadline)
-        Thread.sleep(200)
-    }
-
+    val spark = PseudoCluster.session(workers, cores, memMB,
+      s"graft-clusterbuild-${workers}x$cores", "clusterbuild")
     val docs = spark.read.parquet(corpusDir)
     val nDocs = docs.count()
     // shards per HIGH-level core (same absolute shard count at both levels

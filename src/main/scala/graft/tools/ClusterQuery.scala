@@ -34,45 +34,8 @@ object ClusterQuery {
     val totalCores = workers * cores
     val nHigh = sys.env.getOrElse("SPARK_GRAFT_NHIGH", "16").toInt
     val qrounds = sys.env.getOrElse("SPARK_GRAFT_QROUNDS", "5").toInt
-    val execMem = memMB - 1024
-    new java.io.File("/dev/shm/graft-spark").mkdirs()
-    val classes = sys.env.getOrElse("SPARK_GRAFT_CLASSES",
-      new java.io.File("target/scala-2.13/classes").getAbsolutePath)
-    val extraOpts = sys.env.getOrElse("SPARK_GRAFT_EXEC_EXTRAOPTS", "")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    val spark = SparkSession.builder()
-      .master(s"local-cluster[$workers,$cores,$memMB]")
-      .appName(s"graft-clusterquery-${workers}x$cores")
-      .config("spark.executor.memory", s"${execMem}m")
-      .config("spark.executor.extraClassPath", classes)
-      .config("spark.executor.extraJavaOptions",
-        s"$addOpens -Xms${execMem}m -XX:+AlwaysPreTouch -XX:+UseParallelGC $extraOpts")
-      .config("spark.sql.shuffle.partitions", (totalCores * 4).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val deadline = System.nanoTime() + 300e9.toLong
-    while (spark.sparkContext.getExecutorMemoryStatus.size < workers + 1 &&
-        System.nanoTime() < deadline) Thread.sleep(200)
-    println(s"[clusterquery] executors=${spark.sparkContext.getExecutorMemoryStatus.size - 1}")
-    sys.env.get("SPARK_GRAFT_PINFILE").foreach { pf =>
-      println(s"[clusterquery] waiting for pin marker $pf")
-      val pinDeadline = System.nanoTime() + 180e9.toLong
-      while (!new java.io.File(pf).exists() && System.nanoTime() < pinDeadline)
-        Thread.sleep(200)
-    }
-
+    val spark = PseudoCluster.session(workers, cores, memMB,
+      s"graft-clusterquery-${workers}x$cores", "clusterquery")
     val docs = spark.read.parquet(corpusDir)
     val nDocs = docs.count()
     val spc = sys.env.getOrElse("SPARK_GRAFT_SHARDS_PER_CORE", "8").toInt
@@ -85,13 +48,7 @@ object ClusterQuery {
     idx.postings.count(); idx.docmap.count(); idx.docnorms.count(); idx.termstats.count()
     println(f"[clusterquery] setup_sec=${(System.nanoTime() - t0) / 1e9}%.1f ndocs=$nDocs")
 
-    // deterministic rank-skewed query mix, same shape as graft.QueryScaling
-    val rnd = new scala.util.Random(99)
-    val rows = (0 until nQueries).map { i =>
-      val n = 1 + rnd.nextInt(3)
-      (i.toLong, Seq.fill(n)(graft.corpus.PageGen.vocab(rnd.nextInt(2000))))
-    }
-    val q = spark.createDataFrame(rows).toDF("qid", "terms")
+    val q = PseudoCluster.queryMix(spark, nQueries)
 
     Search.topKBatch(spark, idx, q, 10).count() // warm: JIT + cache touch
     var best = Double.MaxValue

@@ -286,4 +286,19 @@ class QueryParserSpec extends AnyFunSuite {
     val o = QueryParser.parse("aa ) dd")
     assert(o.scoringTerms == Seq("aa", "dd"))
   }
+
+  test("regexp filter values: class parens, never-empty peel (r04 3rd pass)") {
+    // parens inside a character class are class members, not structure:
+    // the balance scan must not count them
+    val c1 = QueryParser.parse("xx path:(a[)]) yy")
+    assert(c1.path.contains("(a[)])"))
+    assert(c1.scoringTerms == Seq("xx", "yy"))
+    val c2 = QueryParser.parse("(path:[(]x) yy")
+    assert(c2.path.contains("[(]x"))
+    assert(c2.scoringTerms == Seq("yy"))
+    // a value is never peeled to EMPTY: `(site:)` keeps its ')' and
+    // fails visibly at regexp compile instead of matching everything
+    val c3 = QueryParser.parse("(site:) yy")
+    assert(c3.site.contains(")"))
+  }
 }

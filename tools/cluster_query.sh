@@ -35,6 +35,11 @@ run() {
   while pgrep -f "executor.CoarseGrainedExecutorBackend" >/dev/null 2>&1; do
     drain=$((drain+1)); [ $drain -gt 60 ] && break; sleep 1
   done
+  # stale executors past the drain window would satisfy the pin loop and
+  # steal the core assignments from the REAL executors: kill by pid
+  for sp in $(pgrep -f "executor.CoarseGrainedExecutorBackend"); do
+    kill -9 "$sp" 2>/dev/null
+  done
   SPARK_GRAFT_NHIGH=$nhigh SPARK_GRAFT_PINFILE=$pf \
   SPARK_GRAFT_CLASSES=$FROZEN \
   SPARK_GRAFT_EXEC_EXTRAOPTS="-XX:ActiveProcessorCount=$c -XX:ParallelGCThreads=$c" \
@@ -44,6 +49,7 @@ run() {
   local jpid=$!
   local tries=0
   while true; do
+    kill -0 "$jpid" 2>/dev/null || { echo "[clusterq] $tag: driver died early" >>"$LOG"; break; }
     mapfile -t pids < <(pgrep -f "executor.CoarseGrainedExecutorBackend" | sort -n)
     [ "${#pids[@]}" -ge "$w" ] && break
     tries=$((tries+1))
