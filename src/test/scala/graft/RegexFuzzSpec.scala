@@ -129,7 +129,9 @@ class RegexFuzzSpec extends AnyFunSuite {
     var patterns = 0
     var comparisons = 0
     var skippedEmptyLoop = 0
-    while (patterns < 1500) {
+    // one-off deep runs: GRAFT_FUZZ_PATTERNS=20000 sbt "testOnly *RegexFuzzSpec"
+    val target = sys.env.getOrElse("GRAFT_FUZZ_PATTERNS", "1500").toInt
+    while (patterns < target) {
       val p = randPattern(r, depth = 2)
       val emptyLoop =
         try hasEmptyQuantifiedBody(Regex.parseWithFlags(p)._1)
