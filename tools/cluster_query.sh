@@ -72,11 +72,19 @@ run() {
 echo "[clusterq] start $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg) nq=$NQ" >>"$LOG"
 for r in $(seq 1 "$ROUNDS"); do
   echo "[clusterq] round $r $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg)" >>"$LOG"
-  # Q1: 1x4 over 1.6M docs vs 4x4 over 6.4M docs, same NQ queries.
-  # dps identical at both levels (low nhigh=4: 1.6M/(4*8)=50k; high
-  # nhigh=16: 6.4M/(16*8)=50k), so per-task decode/score work is the
-  # same shape everywhere — the high level just has 4x the shards.
-  run 1 4 9216 "$C16" 4  "Q1low_r$r"  0-3
-  run 4 4 9216 "$C64" 16 "Q1high_r$r" 0-3 4-7 8-11 12-15
+  # Q1 (weak): 1x4 over 1.6M docs vs 4x4 over 6.4M docs, same NQ
+  # queries. dps identical at both levels (low nhigh=4: 1.6M/(4*8)=50k;
+  # high nhigh=16: 6.4M/(16*8)=50k), so per-task decode/score work is
+  # the same shape everywhere — the high level just has 4x the shards.
+  if [ "${PAIRS:-weak}" != "strong" ]; then
+    run 1 4 9216 "$C16" 4  "Q1low_r$r"  0-3
+    run 4 4 9216 "$C64" 16 "Q1high_r$r" 0-3 4-7 8-11 12-15
+  fi
+  # Q2 (strong): SAME 1.6M corpus and query set at both levels —
+  # eff = wall_low / (4 * wall_high)
+  if [ "${PAIRS:-weak}" = "strong" ] || [ "${PAIRS:-weak}" = "both" ]; then
+    run 1 4 9216 "$C16" 4 "Q2low_r$r"  0-3
+    run 4 4 9216 "$C16" 4 "Q2high_r$r" 0-3 4-7 8-11 12-15
+  fi
 done
 echo "[clusterq] done $(date +%T)" >>"$LOG"
