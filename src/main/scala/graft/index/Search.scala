@@ -1318,12 +1318,38 @@ object Search {
     * One match per line (dcs caps identical-line matches the same way).
     * Runs as a Catalyst pipeline: split → posexplode → linear-time match
     * filter → window-free context via slice on the shared lines array. */
+  /** True when the pattern uses an edge anchor (^ $ \A \z). For those
+    * the whole-document pre-filter in [[grepContext]] is NOT conservative
+    * wrt per-line grep semantics: '$' can hold at a line end while
+    * failing on the whole text (word boundaries \b/\B are unaffected —
+    * '\n' is a non-word char, so line edges agree with doc positions).
+    * Out-of-subset patterns conservatively count as anchored. */
+  private def hasEdgeAnchors(pattern: String): Boolean = {
+    import graft.queries.Regex
+    def walk(n: Regex.Node): Boolean = n match {
+      case Regex.Anchor(k) => k == '^' || k == '$' || k == 'A' || k == 'z'
+      case Regex.Cat(s) => s.exists(walk)
+      case Regex.Alt(s) => s.exists(walk)
+      case Regex.Star(s) => walk(s)
+      case Regex.Plus(s) => walk(s)
+      case Regex.Quest(s) => walk(s)
+      case Regex.Rep(s, _, _) => walk(s)
+      case _ => false
+    }
+    try walk(Regex.parseWithFlags(pattern)._1)
+    catch { case _: Regex.ParseError => true }
+  }
+
   def grepContext(spark: SparkSession, docs: DataFrame, pattern: String,
       ctx: Int = 2): DataFrame = {
     val find = regexFindUdf(pattern)
     val lines = split(col("text"), "\n")
-    docs
-      .filter(find(col("text")))
+    // the whole-document pre-filter is an optimization only — for an
+    // edge-anchored pattern 'bravo$' on "alpha\nbravo\nx" the document
+    // find fails while line 2 matches, so anchored patterns go straight
+    // to the per-line scan (code-review r04)
+    val pre = if (hasEdgeAnchors(pattern)) docs else docs.filter(find(col("text")))
+    pre
       .select(col("docId"), lines.as("lines"))
       .select(col("docId"), col("lines"), posexplode(col("lines")))
       .filter(find(col("col")))

@@ -365,6 +365,30 @@ class EngineSpec extends AnyFunSuite {
     assert(re.map(urlOf) == Seq("https://host0.example/zmb1"))
   }
 
+  test("grepContext on a CRLF corpus: '$' matches before the \\r (r04)") {
+    // grepContext splits on \n, so CRLF documents leave a trailing \r on
+    // every line — the default-mode '$' must still anchor there, exactly
+    // as java.util.regex does (the pre-r04 \n-only check missed it)
+    val df = spark.createDataFrame(Seq(
+      (1L, "alpha\r\nbravo\r\ncharlie\r\n"))).toDF("docId", "text")
+    val r = Search.grepContext(spark, df, "bravo$")
+      .collect().map(x => (x.getInt(1), x.getString(2))).toSeq
+    assert(r == Seq((2, "bravo\r")))
+    // per-line semantics: the line IS "bravo\r", so an explicit \r$
+    // matches it too (java.util.regex agrees on the line string)
+    assert(Search.grepContext(spark, df, "bravo\\r$").count() == 1)
+    // anchored patterns must not be lost to the whole-document
+    // pre-filter: 'bravo$'/'^bravo' fail a whole-text find on a doc
+    // where the needle sits on an INTERIOR line, but grep over lines
+    // must still return line 2 (code-review r04)
+    val lf = spark.createDataFrame(Seq(
+      (1L, "alpha\nbravo\nx"))).toDF("docId", "text")
+    assert(Search.grepContext(spark, lf, "bravo$")
+      .collect().map(_.getInt(1)).toSeq == Seq(2))
+    assert(Search.grepContext(spark, lf, "^bravo")
+      .collect().map(_.getInt(1)).toSeq == Seq(2))
+  }
+
   test("out-of-subset regexp syntax falls back to the guarded scan (r04)") {
     val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
       .select("docId", "text")
