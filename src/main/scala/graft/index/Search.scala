@@ -1311,13 +1311,6 @@ object Search {
     out.result()
   }
 
-  /** Grep with context (X3, reference `regexp/match.go:421-561`): for
-    * candidate docs, emit every line matching the pattern with up to
-    * `ctx` lines of before/after context and 1-based line numbers —
-    * dcs's Match payload (`sourcebackendpb/sourcebackend.proto:26-44`).
-    * One match per line (dcs caps identical-line matches the same way).
-    * Runs as a Catalyst pipeline: split → posexplode → linear-time match
-    * filter → window-free context via slice on the shared lines array. */
   /** True when the pattern uses an edge anchor (^ $ \A \z). For those
     * the whole-document pre-filter in [[grepContext]] is NOT conservative
     * wrt per-line grep semantics: '$' can hold at a line end while
@@ -1340,6 +1333,13 @@ object Search {
     catch { case _: Regex.ParseError => true }
   }
 
+  /** Grep with context (X3, reference `regexp/match.go:421-561`): for
+    * candidate docs, emit every line matching the pattern with up to
+    * `ctx` lines of before/after context and 1-based line numbers —
+    * dcs's Match payload (`sourcebackendpb/sourcebackend.proto:26-44`).
+    * One match per line (dcs caps identical-line matches the same way).
+    * Runs as a Catalyst pipeline: split → posexplode → linear-time match
+    * filter → window-free context via slice on the shared lines array. */
   def grepContext(spark: SparkSession, docs: DataFrame, pattern: String,
       ctx: Int = 2): DataFrame = {
     val find = regexFindUdf(pattern)

@@ -9,8 +9,10 @@
 # interleaved across levels, per-level MINIMA.
 set -u
 cd /root/repo
+# defaults REPRODUCE the BENCH/BASELINE.md §0c record (3 harness
+# rounds x 4 timed passes of 3000 queries)
 ROUNDS=${ROUNDS:-3}
-NQ=${NQ:-5000}
+NQ=${NQ:-3000}
 LOG=${LOG:-/root/repo/BENCH/logs/cluster_query.log}
 C16=/dev/shm/graft-corpus-1600k
 C64=/dev/shm/graft-corpus-6400k
@@ -18,13 +20,17 @@ export SPARK_HOME=/opt/spark
 export SPARK_SCALA_VERSION=2.13
 export SPARK_WORKER_DIR=/dev/shm/graft-spark/work
 export SPARK_GRAFT_SHARDS_PER_CORE=${SPARK_GRAFT_SHARDS_PER_CORE:-8}
-export SPARK_GRAFT_QROUNDS=${SPARK_GRAFT_QROUNDS:-5}
+export SPARK_GRAFT_QROUNDS=${SPARK_GRAFT_QROUNDS:-4}
 mkdir -p /dev/shm/graft-spark/work "$(dirname "$LOG")"
-FROZEN=${FROZEN:-/dev/shm/graft-frozen-classes}
-[ -d "$FROZEN" ] || cp -r target/scala-2.13/classes "$FROZEN"
-ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-  java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
-  sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
+# always refresh the default frozen-classes copy — a stale dir from an
+# earlier round would ClassNotFound the tool (or worse, silently
+# benchmark old code); an explicit $FROZEN is the caller's to manage
+if [ -z "${FROZEN:-}" ]; then
+  FROZEN=/dev/shm/graft-frozen-classes
+  rm -rf "$FROZEN"
+  cp -r target/scala-2.13/classes "$FROZEN"
+fi
+. tools/jvm_opens.sh
 
 run() {
   local w=$1 c=$2 mem=$3 corpus=$4 nhigh=$5 tag=$6; shift 6
@@ -48,6 +54,7 @@ run() {
     > /tmp/cq_$tag.out 2>&1 &
   local jpid=$!
   local tries=0
+  local pids=()
   while true; do
     kill -0 "$jpid" 2>/dev/null || { echo "[clusterq] $tag: driver died early" >>"$LOG"; break; }
     mapfile -t pids < <(pgrep -f "executor.CoarseGrainedExecutorBackend" | sort -n)
@@ -56,11 +63,16 @@ run() {
     if [ $tries -gt 600 ]; then echo "[clusterq] $tag: executors never appeared" >>"$LOG"; break; fi
     sleep 0.5
   done
-  local i=0
-  for pid in "${pids[@]}"; do
-    taskset -a -p -c "${sets[$i]}" "$pid" >/dev/null 2>&1
-    i=$(( (i+1) % ${#sets[@]} ))
-  done
+  # pin only when the EXPECTED executor set appeared: on early driver
+  # death `pids` would be empty/stale, and a respawned extra backend
+  # would wrap the core-set assignment onto a double-booked set
+  if [ "${#pids[@]}" -ge "$w" ]; then
+    local i=0
+    for pid in "${pids[@]:0:$w}"; do
+      taskset -a -p -c "${sets[$i]}" "$pid" >/dev/null 2>&1
+      i=$(( (i+1) % ${#sets[@]} ))
+    done
+  fi
   local dpid
   dpid=$(pgrep -f "graft.tools.ClusterQuery" | head -1)
   [ -n "$dpid" ] && taskset -a -p -c 28-31 "$dpid" >/dev/null 2>&1
