@@ -102,7 +102,12 @@ object IndexMerger {
       .as[TermStats]
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
-    BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)
+    BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats,
+      // merged reversed-term dictionary (|vocab| rows, from the merged
+      // termstats) so a published merge keeps the suffix-wildcard fast
+      // path instead of silently degrading to the dictionary scan
+      revdict = Some(termstats.toDF()
+        .select(reverse(col("term")).as("rev"), col("term"))))
   }
 
   /** Bench-only entry to force the re-encode path on aligned parts. */
@@ -182,7 +187,12 @@ object IndexMerger {
       }
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
-    BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)
+    BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats,
+      // merged reversed-term dictionary (|vocab| rows, from the merged
+      // termstats) so a published merge keeps the suffix-wildcard fast
+      // path instead of silently degrading to the dictionary scan
+      revdict = Some(termstats.toDF()
+        .select(reverse(col("term")).as("rev"), col("term"))))
   }
 
   private def reencodeTri(spark: SparkSession, occs: DataFrame, dps: Long,

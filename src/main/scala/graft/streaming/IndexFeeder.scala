@@ -99,5 +99,14 @@ object IndexFeeder {
         java.nio.file.Paths.get(s"$dir/_COMMITTED_trigrams"),
         System.currentTimeMillis().toString)
     }
+    // the reversed-term dictionary (suffix-wildcard fast path) must
+    // survive a publish too — without it a published version silently
+    // degrades *fix queries to the O(vocabulary) fallback scan
+    idx.revdict.foreach { rd =>
+      rd.orderBy("rev").write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_COMMITTED_revterms"),
+        System.currentTimeMillis().toString)
+    }
   }
 }

@@ -148,5 +148,12 @@ class StreamingSpec extends AnyFunSuite {
     val a = Search.topK(spark, published, q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
     val b = Search.topK(spark, direct, q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(a.toSeq == b.toSeq)
+
+    // the published version keeps the reversed-term dictionary, so
+    // suffix wildcards stay on the rev-prefix fast path after a
+    // merge+publish cycle (r04: persist dropped it silently)
+    assert(published.revdict.isDefined)
+    val viaRev = Search.expandSuffix(spark, published, "marker5")
+    assert(viaRev == Seq("qmarker5"))
   }
 }
