@@ -490,12 +490,20 @@ object QueryRunner {
     p.lang.foreach(l => filtered = filtered.filter(col("lang") === l))
     // site:/path: are REGEXP filters, like dcs's package:/path: keywords
     // (compiled with regexp.Compile in sourcebackend.go:28-129) — not
-    // exact equality: `site:.*\.example` selects a whole domain family
-    p.site.foreach(s => filtered = filtered.filter(col("host").rlike(s)))
-    p.path.foreach(s => filtered = filtered.filter(col("url").rlike(s)))
+    // exact equality: `site:.*\.example` selects a whole domain family.
+    // Evaluated through the linear-time engine (step-bounded fallback),
+    // NOT Catalyst rlike: dcs's filters are RE2, and a hostile pattern
+    // in a USER-SUPPLIED filter must not backtrack-DoS the executors —
+    // the same robustness the content-verification stage got in r04.
+    def reFilter(pattern: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val v = new RegexVerifier(pattern) // compiles on the driver: malformed fails the query up front
+      udf((s: String) => s != null && v.find(s)).apply(c)
+    }
+    p.site.foreach(s => filtered = filtered.filter(reFilter(s, col("host"))))
+    p.path.foreach(s => filtered = filtered.filter(reFilter(s, col("url"))))
     p.negLang.foreach(l => filtered = filtered.filter(col("lang") =!= l))
-    p.negSite.foreach(s => filtered = filtered.filter(!col("host").rlike(s)))
-    p.negPath.foreach(s => filtered = filtered.filter(!col("url").rlike(s)))
+    p.negSite.foreach(s => filtered = filtered.filter(!reFilter(s, col("host"))))
+    p.negPath.foreach(s => filtered = filtered.filter(!reFilter(s, col("url"))))
     filtered.select("docId")
   }
 }

@@ -365,6 +365,21 @@ class EngineSpec extends AnyFunSuite {
     assert(re.map(urlOf) == Seq("https://host0.example/zmb1"))
   }
 
+  test("metadata filters run on the bounded regex engine (r04)") {
+    import graft.queries.QueryRunner
+    // dcs compiles site:/path: filters with RE2; ours evaluate through
+    // RegexVerifier (linear NFA, step-bounded fallback) instead of
+    // Catalyst rlike, so a hostile user-supplied filter cannot
+    // backtrack-DoS the executors
+    val viaNfa = QueryRunner
+      .run(spark, idx, "qmarker3 site:host[0-9]+\\.example", 50).count()
+    assert(viaNfa > 0)
+    // out-of-subset syntax still serves through the bounded fallback
+    val viaFallback = QueryRunner
+      .run(spark, idx, "qmarker3 site:host\\p{Digit}+\\.example", 50).count()
+    assert(viaFallback == viaNfa)
+  }
+
   test("grepContext on a CRLF corpus: '$' matches before the \\r (r04)") {
     // grepContext splits on \n, so CRLF documents leave a trailing \r on
     // every line — the default-mode '$' must still anchor there, exactly
