@@ -374,7 +374,7 @@ object SparkEntry {
       Search.regexpSearch(s, index(s, dir), docsWithIds(s, dir), RegexNoCasePattern)
         .select(col("docId").as("docid")).orderBy("docid")),
     // path: REGEXP filter (dcs path:/-path: compile as regexps,
-    // sourcebackend.go:28-129) — rlike over the url
+    // sourcebackend.go:28-129) — bounded-engine match over the url
     "q_path_filter" -> ((s, dir) =>
       QueryRunner.run(s, index(s, dir), PathFilterQuery, 10)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
