@@ -37,8 +37,12 @@ object IndexPublisher {
 
   /** Atomically point CURRENT at a committed version. */
   def swap(root: String, version: String): Unit = {
-    require(new java.io.File(s"$root/$version/meta.json").exists(),
-      s"version $version is not a committed index")
+    // meta.json alone is written during the FIRST build stage — gating on
+    // it would let a crashed staging dir become CURRENT (the same hazard
+    // IndexFeeder.batchDirs documents); require a FINAL stage marker
+    require(new java.io.File(s"$root/$version/meta.json").exists() &&
+      new java.io.File(s"$root/$version/_COMMITTED_termstats").exists(),
+      s"version $version is not a committed index (final stage markers missing)")
     val tmp = java.nio.file.Paths.get(s"$root/CURRENT.tmp")
     java.nio.file.Files.writeString(tmp, version)
     java.nio.file.Files.move(tmp, currentFile(root),

@@ -119,6 +119,15 @@ class ResumeSpec extends AnyFunSuite {
     assert(blocks == nPost, s"postings sidecars record $blocks blocks, posting set has $nPost")
   }
 
+  test("swap refuses a partially-built version (meta.json alone, r04)") {
+    val root = tmpDir()
+    val partial = new java.io.File(s"$root/v1"); partial.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(partial, "meta.json").toPath, "{}")
+    val e = intercept[IllegalArgumentException](graft.index.IndexPublisher.swap(root, "v1"))
+    assert(e.getMessage.contains("final stage markers"))
+  }
+
   test("crash-suffix resume reruns only uncommitted stages") {
     val dir = tmpDir()
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
