@@ -730,6 +730,10 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
       commitStage(dir, "trigrams", cfg.partitions); stageEnd("trigrams"); ran += 1
     }
+    // terminal marker: EVERY configured stage (including the optional
+    // trigram sections) is committed — the one file a publish swap can
+    // gate on without knowing the build config (code-review r04)
+    commitStage(dir, "build")
     ran
   }
 

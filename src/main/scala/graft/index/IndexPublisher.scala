@@ -37,11 +37,14 @@ object IndexPublisher {
 
   /** Atomically point CURRENT at a committed version. */
   def swap(root: String, version: String): Unit = {
-    // meta.json alone is written during the FIRST build stage — gating on
-    // it would let a crashed staging dir become CURRENT (the same hazard
-    // IndexFeeder.batchDirs documents); require a FINAL stage marker
+    // meta.json alone is written during the FIRST build stage, and even
+    // _COMMITTED_termstats precedes the revterms/trigram stages — gating
+    // on either would let a crashed staging dir become CURRENT with
+    // silently-degraded sections (the hazard IndexFeeder.batchDirs
+    // documents). Require the TERMINAL build marker, written only after
+    // every configured stage committed.
     require(new java.io.File(s"$root/$version/meta.json").exists() &&
-      new java.io.File(s"$root/$version/_COMMITTED_termstats").exists(),
+      new java.io.File(s"$root/$version/_COMMITTED_build").exists(),
       s"version $version is not a committed index (final stage markers missing)")
     val tmp = java.nio.file.Paths.get(s"$root/CURRENT.tmp")
     java.nio.file.Files.writeString(tmp, version)

@@ -29,24 +29,47 @@ final class Matcher private[queries] (
     prog: Array[Matcher.Inst], dotAll: Boolean) extends Serializable {
   import Matcher._
 
+  /** Per-thread reusable simulation buffers: find() runs once per LINE in
+    * the grep stage, and re-allocating four O(|program|) arrays (plus an
+    * Arrays.fill) per call dominated short-line matching (code-review
+    * r04). The build-id dedup makes `mark` reusable without refilling as
+    * long as ids strictly increase across calls — [[find]] maintains
+    * that, refilling only before the id space could wrap. ThreadLocal so
+    * a deserialized Matcher shared by several executor threads stays
+    * race-free; @transient — rebuilt lazily after serialization. */
+  @transient private lazy val scratch: ThreadLocal[Scratch] =
+    new ThreadLocal[Scratch] {
+      override def initialValue(): Scratch = new Scratch(prog.length)
+    }
+
   /** True iff some substring of `s` matches. Linear in s.length. */
   def find(s: CharSequence): Boolean = {
-    val n = prog.length
+    val sc = scratch.get()
+    // id-space hygiene: ids must strictly increase across calls so stale
+    // marks from earlier finds can never equal a live id
+    if (sc.idBase > Int.MaxValue - 2 * (s.length + 2)) {
+      java.util.Arrays.fill(sc.mark, -1)
+      sc.idBase = 0
+    }
+    try findImpl(s, sc)
+    finally sc.idBase += 2 * (s.length + 2) // strictly above any id used
+  }
+
+  private def findImpl(s: CharSequence, sc: Scratch): Boolean = {
     val len = s.length
     // build-id-stamped "already on list" marks: a list keeps ONE build id
     // for its whole lifetime (created as next-list at pos-1, extended with
     // the fresh start thread at pos), so dedup never drops a thread that
     // is legitimately live via two different paths
-    val mark = new Array[Int](n)
-    java.util.Arrays.fill(mark, -1)
-    var clist = new Array[Int](n)
+    val mark = sc.mark
+    var clist = sc.clist
     var csize = 0
-    var nlist = new Array[Int](n)
+    var nlist = sc.nlist
     var nsize = 0
-    var curId = 0
-    var nextId = 1
-    var idCounter = 1
-    val stack = new Array[Int](n + 1) // iterative closure: no deep recursion
+    var curId = sc.idBase + 1
+    var nextId = sc.idBase + 2
+    var idCounter = sc.idBase + 2
+    val stack = sc.stack // iterative closure: no deep recursion
 
     def isWord(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
@@ -148,6 +171,16 @@ final class Matcher private[queries] (
 }
 
 object Matcher {
+  /** Reusable per-thread NFA simulation buffers (see [[Matcher.scratch]]). */
+  private final class Scratch(n: Int) {
+    val mark = new Array[Int](n)
+    java.util.Arrays.fill(mark, -1)
+    var clist = new Array[Int](n)
+    var nlist = new Array[Int](n)
+    val stack = new Array[Int](n + 1)
+    var idBase = 0
+  }
+
   private[queries] sealed trait Inst extends Serializable
   private[queries] final case class Chars(
       los: Array[Char], his: Array[Char], negated: Boolean, next: Int) extends Inst

@@ -218,7 +218,10 @@ object QueryParser {
         require(!(isAtom && depth > 0),
           s"wildcard/fuzzy atom '$t' is not supported inside (...) groups — " +
             "atoms restrict the whole query; move the atom to the top level")
-        val lifted = depth == 0 && isAtom && {
+        // depth <= 0: an orphan ')' (user typo — the grammar skips it)
+        // must not demote a top-level atom to a plain term (code-review
+        // r04: `a) sort*` silently searched the exact term 'sort')
+        val lifted = depth <= 0 && isAtom && {
           if (t.endsWith("*")) liftAtom(t.dropRight(1), prefixes)
           else if (t.startsWith("*")) liftAtom(t.drop(1), suffixes)
           else liftAtom(t.dropRight(1), fuzzies)

@@ -187,10 +187,14 @@ object Regex {
     private def hexEscape(): Char = {
       if (pos + 2 >= s.length) throw ParseError("truncated \\x escape")
       val h = s.substring(pos + 1, pos + 3)
-      val v = try Integer.parseInt(h, 16)
-      catch { case _: NumberFormatException => throw ParseError(s"bad \\x$h") }
+      // strict ASCII hex only: Integer.parseInt would also accept '+'/'-'
+      // signs and Unicode digits, silently compiling escapes that
+      // java.util.regex rejects (`\x-1` -> '￿' — code-review r04)
+      def hex(c: Char): Boolean =
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!hex(h.charAt(0)) || !hex(h.charAt(1))) throw ParseError(s"bad \\x$h")
       pos += 2
-      v.toChar
+      Integer.parseInt(h, 16).toChar
     }
 
     private def parseGroup(): Node = {
@@ -209,6 +213,10 @@ object Regex {
       var negated = false
       if (pos < s.length && s.charAt(pos) == '^') { negated = true; pos += 1 }
       val ranges = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+      // a ']' in FIRST position (after any '^') is a literal member —
+      // java.util.regex accepts `[]a]`/`[^]a]` exactly like POSIX
+      // (verified on this JVM; a code-review claim that Java rejects
+      // them was wrong)
       var first = true
       while (pos < s.length && (s.charAt(pos) != ']' || first)) {
         first = false
@@ -228,6 +236,9 @@ object Regex {
       }
       if (pos >= s.length) throw ParseError("missing ]")
       pos += 1 // consume ']'
+      // `[]` / `[^]` are errors in java.util.regex (leading ']' must be
+      // escaped) — reject, so both engines refuse the pattern identically
+      if (ranges.isEmpty) throw ParseError("empty character class")
       val folded =
         if (foldCase)
           ranges.toVector.flatMap { case (a, b) =>

@@ -108,5 +108,10 @@ object IndexFeeder {
         java.nio.file.Paths.get(s"$dir/_COMMITTED_revterms"),
         System.currentTimeMillis().toString)
     }
+    // terminal marker (see IndexBuilder.buildPersistent): the publish
+    // swap gates on this one file
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_COMMITTED_build"),
+      System.currentTimeMillis().toString)
   }
 }

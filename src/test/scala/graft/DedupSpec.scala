@@ -300,5 +300,10 @@ class QueryParserSpec extends AnyFunSuite {
     // fails visibly at regexp compile instead of matching everything
     val c3 = QueryParser.parse("(site:) yy")
     assert(c3.site.contains(")"))
+    // an orphan ')' must not demote a top-level wildcard atom to a plain
+    // term (4th pass: depth<0 used to skip both the lift and the reject)
+    val c4 = QueryParser.parse("aa ) sort*")
+    assert(c4.prefixes == Seq("sort"))
+    assert(c4.scoringTerms == Seq("aa"))
   }
 }

@@ -229,7 +229,11 @@ class GrepMatchSpec extends AnyFunSuite {
     // java.util.regex constructs the subset does not implement —
     // literalizing them would silently change the match set
     val outOfSubset = Seq("(a)\\1", "\\p{Digit}+", "\\v", "a\\Qb\\E",
-      "\\u0041", "[a\\v]", "[\\p{Digit}]", "[\\b]")
+      "\\u0041", "[a\\v]", "[\\p{Digit}]", "[\\b]",
+      // malformed \x escapes (Integer.parseInt would take the sign) and
+      // the unclosed class `x[]` — java.util.regex rejects all of
+      // these, so the subset must too (r04 4th pass)
+      "\\x-1", "a\\x+4", "x[]")
     for (pat <- outOfSubset)
       assert(Matcher.tryCompile(pat).isEmpty, s"/$pat/ must not take the NFA path")
     // backreferences still answer through the step-bounded fallback
@@ -239,6 +243,17 @@ class GrepMatchSpec extends AnyFunSuite {
     // [\b] is invalid in java.util.regex too (NOT backspace, as in
     // Perl/JS) — both engines refuse the pattern identically
     intercept[java.util.regex.PatternSyntaxException](new RegexVerifier("[\\b]"))
+    for (pat <- Seq("\\x-1", "x[]"))
+      intercept[java.util.regex.PatternSyntaxException](new RegexVerifier(pat))
+    // POSIX-style leading-']' classes are VALID java.util.regex (verified
+    // on this JVM) — the subset keeps them, agreeing on the match set
+    for ((pat, yes, no) <- Seq(("[]a]+", "xx]aa", "xbx"), ("[^]a]", "]b]", "]a]"))) {
+      val m = Matcher.tryCompile(pat)
+      assert(m.nonEmpty, s"/$pat/ must stay on the NFA path")
+      val jur = java.util.regex.Pattern.compile(pat)
+      assert(m.get.find(yes) && jur.matcher(yes).find(), s"/$pat/ on $yes")
+      assert(!m.get.find(no) && !jur.matcher(no).find(), s"/$pat/ on $no")
+    }
     // NEGATED meta classes INSIDE a class compile to EXACT interval
     // complements on the linear path (2nd-pass code-review r04: the old
     // "everything" approximation made 'x[\D]' match "x5" and '[^\W]'
