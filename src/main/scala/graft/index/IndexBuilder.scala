@@ -471,6 +471,36 @@ object IndexBuilder {
     }
   }
 
+  /** Rolling byte-trigram scan of one doc into `indexer` — no
+    * per-occurrence tuples. ASCII docs scan chars directly (char == UTF-8
+    * byte — zero byte copies); others materialize the UTF-8 bytes exactly
+    * once and share them between the ingest gate and the scan. `seen` is
+    * the 2 MiB distinct-trigram gate bitset, reused across a task's docs. */
+  private def scanTrigrams(indexer: TriShardIndexer, local: Int, text: String,
+      seen: java.util.BitSet): Unit =
+    if (Text.isAscii(text)) {
+      if (Text.indexableAscii(text, seen)) {
+        var tv = (text.charAt(0) << 8) | text.charAt(1)
+        var i = 2
+        while (i < text.length) {
+          tv = ((tv << 8) | text.charAt(i)) & 0xffffff
+          indexer.add(tv, local, i - 2)
+          i += 1
+        }
+      }
+    } else {
+      val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (Text.indexableBytes(b, seen)) {
+        var tv = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+        var i = 2
+        while (i < b.length) {
+          tv = ((tv << 8) | (b(i) & 0xff)) & 0xffffff
+          indexer.add(tv, local, i - 2)
+          i += 1
+        }
+      }
+    }
+
   /** Byte-trigram postings with byte-offset positional sections (the dcs
     * docid/pos/posrel sections per trigram, write.go:275-441) — same
     * per-shard local build, with an unboxed LongMap keyed by the packed
@@ -500,33 +530,7 @@ object IndexBuilder {
         if (shard != curShard) {
           flush(); indexer = new TriShardIndexer(shard, dps, cfg.blockSize); curShard = shard
         }
-        val local = (id - shard.toLong * dps).toInt
-        // inline rolling byte-trigram scan: no per-occurrence tuples.
-        // ASCII docs scan chars directly (char == UTF-8 byte — zero byte
-        // copies); others materialize the UTF-8 bytes exactly once and
-        // share them between the ingest gate and the scan.
-        if (Text.isAscii(text)) {
-          if (Text.indexableAscii(text, seen)) {
-            var tv = (text.charAt(0) << 8) | text.charAt(1)
-            var i = 2
-            while (i < text.length) {
-              tv = ((tv << 8) | text.charAt(i)) & 0xffffff
-              indexer.add(tv, local, i - 2)
-              i += 1
-            }
-          }
-        } else {
-          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          if (Text.indexableBytes(b, seen)) {
-            var tv = ((b(0) & 0xff) << 8) | (b(1) & 0xff)
-            var i = 2
-            while (i < b.length) {
-              tv = ((tv << 8) | (b(i) & 0xff)) & 0xffffff
-              indexer.add(tv, local, i - 2)
-              i += 1
-            }
-          }
-        }
+        scanTrigrams(indexer, (id - shard.toLong * dps).toInt, text, seen)
       }
       flush()
       writeLineage(cfg.lineageDir, "trigrams", rows, 0L, blocks.length,
@@ -534,6 +538,94 @@ object IndexBuilder {
         System.currentTimeMillis() - t0)
       blocks.iterator
     }
+  }
+
+  /** Token AND trigram postings in ONE shard-shuffled pass over the text
+    * (VERDICT r04 #1: the persistent build used to run encodeTokenPostings
+    * and encodeTriPostings as two stages, each re-reading and re-shuffling
+    * the full text column through identical (shard)-keyed repartitions —
+    * on a DRAM-bound host the duplicated text stream was the whole
+    * 0.70-0.75 build weak-scaling gap). Here each task runs both indexers
+    * per shard in the same loop: a document's text is resident in cache
+    * while both the token and the trigram scan walk it, so text streams
+    * through DRAM once. Both stages' lineage sidecars are still written
+    * (one pair per task), keeping the lineage schema and load-time audit
+    * unchanged. Peak task memory holds one shard's token AND trigram
+    * accumulators together — size docsPerShard to that combined budget. */
+  def encodeCombined(
+      spark: SparkSession,
+      docText: Dataset[(Long, String)],
+      dps: Long,
+      cfg: Config): Dataset[EncodedBlock] = {
+    import spark.implicits._
+    clearLineage(cfg.lineageDir, "postings")
+    if (cfg.buildTrigrams) clearLineage(cfg.lineageDir, "trigrams")
+    val buildTri = cfg.buildTrigrams
+    val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
+      .toDF("shard", "docId", "text")
+      .repartition(cfg.partitions, col("shard"))
+      .sortWithinPartitions("shard", "docId")
+      .as[(Int, Long, String)]
+    docs.mapPartitions { it =>
+      val t0 = System.currentTimeMillis()
+      var tok: ShardIndexer = null
+      var tri: TriShardIndexer = null
+      var curShard = -1
+      var rows = 0L
+      val seen = new java.util.BitSet(1 << 24) // reused across docs in task
+      val tokBlocks = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+      val triBlocks = scala.collection.mutable.ArrayBuffer.empty[TriBlock]
+      def flush(): Unit = {
+        if (tok != null) tokBlocks ++= tok.finish(withPositions = true)
+        if (tri != null) triBlocks ++= tri.finish()
+      }
+      it.foreach { case (shard, id, text) =>
+        rows += 1
+        if (shard != curShard) {
+          flush()
+          tok = new ShardIndexer(shard, dps, cfg.blockSize)
+          tri = if (buildTri) new TriShardIndexer(shard, dps, cfg.blockSize) else null
+          curShard = shard
+        }
+        val local = (id - shard.toLong * dps).toInt
+        tok.addDoc(local, text)
+        if (buildTri) scanTrigrams(tri, local, text, seen)
+      }
+      flush()
+      writeLineage(cfg.lineageDir, "postings", rows,
+        tokBlocks.iterator.map(_.term).toSet.size.toLong, tokBlocks.length,
+        tokBlocks.iterator.map(b => b.docs.length.toLong + b.tfs.length + b.pos.length).sum,
+        System.currentTimeMillis() - t0)
+      if (buildTri)
+        writeLineage(cfg.lineageDir, "trigrams", rows, 0L, triBlocks.length,
+          triBlocks.iterator.map(b => b.docs.length.toLong + b.pos.length).sum,
+          System.currentTimeMillis() - t0)
+      tokBlocks.iterator.map(b => EncodedBlock(0, b.term, -1, b.shard,
+        b.blockId, b.df, b.cf, b.maxTf, b.firstDoc, b.lastDoc,
+        b.docs, b.tfs, b.nPos, b.pos, b.posrel)) ++
+        triBlocks.iterator.map(b => EncodedBlock(1, null, b.tri, b.shard,
+          b.blockId, b.df, 0L, 0, b.firstDoc, b.lastDoc,
+          b.docs, Array.emptyByteArray, b.nPos, b.pos, b.posrel))
+    }
+  }
+
+  /** Token posting blocks of a combined-layout index dir (kind=0 —
+    * directory-pruned: the trigram partition is never touched). */
+  private def readPostingBlocks(spark: SparkSession, dir: String): Dataset[PostingBlock] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/blocks").filter(col("kind") === 0)
+      .select("term", "shard", "blockId", "df", "cf", "maxTf", "firstDoc",
+        "lastDoc", "docs", "tfs", "nPos", "pos", "posrel")
+      .as[PostingBlock]
+  }
+
+  /** Trigram blocks of a combined-layout index dir (kind=1). */
+  private def readTriBlocks(spark: SparkSession, dir: String): Dataset[TriBlock] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/blocks").filter(col("kind") === 1)
+      .select("tri", "shard", "blockId", "df", "firstDoc", "lastDoc",
+        "docs", "nPos", "pos", "posrel")
+      .as[TriBlock]
   }
 
   /** Driver-side, called at encode-plan construction: clear the stage's
@@ -698,14 +790,21 @@ object IndexBuilder {
       commitStage(dir, "docnorms"); stageEnd("docnorms"); ran += 1
     }
 
-    if (!stageDone(dir, "postings")) {
-      encodeTokenPostings(spark, docText, meta.docsPerShard, cfg)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-      commitStage(dir, "postings", cfg.partitions); stageEnd("postings"); ran += 1
+    // token + trigram sections in ONE pass over the text (the dominant
+    // DRAM stream of the build — see encodeCombined). Both families land
+    // in $dir/blocks partitioned by kind; the two legacy commit markers
+    // stay so resume/publish gating and batchDirs() are unchanged.
+    if (!stageDone(dir, "postings") ||
+        (cfg.buildTrigrams && !stageDone(dir, "trigrams"))) {
+      encodeCombined(spark, docText, meta.docsPerShard, cfg)
+        .write.mode(SaveMode.Overwrite).partitionBy("kind").parquet(s"$dir/blocks")
+      commitStage(dir, "postings", cfg.partitions)
+      if (cfg.buildTrigrams) commitStage(dir, "trigrams", cfg.partitions)
+      stageEnd("encode"); ran += 1
     }
 
     if (!stageDone(dir, "termstats")) {
-      spark.read.parquet(s"$dir/postings")
+      readPostingBlocks(spark, dir)
         .groupBy("term")
         .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
@@ -725,11 +824,6 @@ object IndexBuilder {
       commitStage(dir, "revterms"); stageEnd("revterms"); ran += 1
     }
 
-    if (cfg.buildTrigrams && !stageDone(dir, "trigrams")) {
-      encodeTriPostings(spark, docText, meta.docsPerShard, cfg)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
-      commitStage(dir, "trigrams", cfg.partitions); stageEnd("trigrams"); ran += 1
-    }
     // terminal marker: EVERY configured stage (including the optional
     // trigram sections) is committed — the one file a publish swap can
     // gate on without knowing the build config (code-review r04)
@@ -746,9 +840,17 @@ object IndexBuilder {
     }
     validateLineage(dir) // every committed encode task left its sidecar
     val meta = readMeta(s"$dir/meta.json")
+    // combined layout ($dir/blocks, kind-partitioned — one encode pass)
+    // when present; the legacy separate postings/trigrams dirs otherwise
+    // (pre-r05 builds and IndexFeeder.persist both write those)
+    val combined = new java.io.File(s"$dir/blocks").exists()
+    val postings =
+      if (combined) readPostingBlocks(spark, dir)
+      else spark.read.parquet(s"$dir/postings").as[PostingBlock]
     val tri =
-      if (stageDone(dir, "trigrams")) Some(spark.read.parquet(s"$dir/trigrams").as[TriBlock])
-      else None
+      if (!stageDone(dir, "trigrams")) None
+      else if (combined) Some(readTriBlocks(spark, dir))
+      else Some(spark.read.parquet(s"$dir/trigrams").as[TriBlock])
     val docsDf = spark.read.parquet(s"$dir/docs")
     val docmapDf = // tolerate pre-r02 layouts without the gate column
       if (docsDf.columns.contains("indexable")) docsDf
@@ -768,7 +870,7 @@ object IndexBuilder {
       docmapDf
         .select("docId", "url", "shard", "dl", "lang", "indexable").as[DocEntry],
       spark.read.parquet(s"$dir/docnorms").as[DocNorms],
-      spark.read.parquet(s"$dir/postings").as[PostingBlock],
+      postings,
       tri,
       spark.read.parquet(s"$dir/termstats").as[TermStats],
       revdict = // optional (pre-r04 layouts): suffix falls back to a scan

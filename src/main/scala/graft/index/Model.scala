@@ -76,6 +76,33 @@ final case class TriBlock(
     pos: Array[Byte],
     posrel: Array[Byte])
 
+/** One row of the combined encode output: token posting blocks (kind=0)
+  * and trigram blocks (kind=1) in a single dataset, so the persistent
+  * build writes BOTH section families from ONE shard-shuffled pass over
+  * the corpus text (the text column is the dominant DRAM stream of the
+  * whole build; dcs likewise indexes each package in one pass over the
+  * unpacked tree, reference `cmd/dcs-package-importer/importer.go:392-469`).
+  * On disk the dataset is parquet `partitionBy(kind)`, so reading one
+  * family prunes the other's directories entirely; the unused columns of
+  * each family (`tri` for tokens, `term`/`cf`/`maxTf`/`tfs` for trigrams)
+  * are nulls/zeros that parquet RLE-compresses to nothing. */
+final case class EncodedBlock(
+    kind: Int,
+    term: String,
+    tri: Int,
+    shard: Int,
+    blockId: Int,
+    df: Int,
+    cf: Long,
+    maxTf: Int,
+    firstDoc: Long,
+    lastDoc: Long,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    nPos: Int,
+    pos: Array[Byte],
+    posrel: Array[Byte])
+
 /** Global per-term statistics (df for IDF; the MetaEntry.Entries analogue,
   * dcs write.go:290-311). Small table: |vocab| rows. */
 final case class TermStats(term: String, df: Long, cf: Long, maxTf: Int)

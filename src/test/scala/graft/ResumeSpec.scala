@@ -23,7 +23,9 @@ class ResumeSpec extends AnyFunSuite {
     val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
     val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
     val ran1 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
-    assert(ran1 == 6) // docmap, docnorms, postings, termstats, revterms, trigrams
+    // docmap, docnorms, encode (postings+trigrams in one pass), termstats,
+    // revterms
+    assert(ran1 == 5)
     val ran2 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
     assert(ran2 == 0) // fully resumed
 
@@ -138,7 +140,7 @@ class ResumeSpec extends AnyFunSuite {
       new java.io.File(s"$dir/_COMMITTED_$st").delete()
     }
     val ran = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
-    assert(ran == 4)
+    assert(ran == 3) // encode (postings+trigrams), termstats, revterms
   }
 
   test("publish/swap/vacuum: atomic CURRENT pointer, old versions dropped") {
