@@ -251,13 +251,17 @@ object SparkEntry {
         .groupBy("stage").agg(sum("rows").as("n_rows"))
         .filter(col("stage").isin("postings", "trigrams"))
     }),
-    // fuzzy `sow~`: Levenshtein<=1 dictionary expansion (typo tolerance)
+    // fuzzy `sow~` through the PERSISTED index: the deletion-neighborhood
+    // dictionary (delterms — key IN lookup, parquet-pruned) replaces the
+    // O(vocabulary) levenshtein scan; results must match the scan path
+    // exactly (PlanAuditSpec asserts the identity)
     "q_fuzzy_query" -> ((s, dir) =>
-      QueryRunner.run(s, index(s, dir), FuzzyQuery, 10)
+      QueryRunner.run(s, persisted(s, dir), FuzzyQuery, 10)
         .select(col("docId").as("docid"), round(col("score"), 5).as("score"))),
-    // spell suggestion: dictionary terms ranked (dist ASC, df DESC)
+    // spell suggestion: deldict candidates ranked (dist ASC, df DESC) —
+    // same persisted-index fast path
     "q_suggest" -> ((s, dir) =>
-      Search.suggest(s, index(s, dir), SuggestSeed, maxDist = 2, k = 5)),
+      Search.suggest(s, persisted(s, dir), SuggestSeed, maxDist = 2, k = 5)),
     // more-like-this: seed doc's top terms (tf DESC, df ASC, term ASC —
     // integer rank) -> disjunctive BM25 top-k excluding the seed
     "q_more_like_this" -> ((s, dir) =>

@@ -108,6 +108,37 @@ object Text {
     * `hex(substring(encode(text), i, 3))`. */
   def trigramHex(t: Int): String = f"$t%06X"
 
+  /** All strings obtainable from `s` by deleting up to `maxDel` characters
+    * (including `s` itself), distinct, deterministic order. The key set of
+    * the deletion-neighborhood dictionary (the FastSS/SymSpell scheme): if
+    * levenshtein(a, b) <= d then the <=d-deletion neighborhoods of a and b
+    * intersect, so a dictionary keyed by term deletion variants answers a
+    * fuzzy lookup with O(|variants(query)|) point lookups — a SUPERSET
+    * candidate generator; callers re-filter with the exact edit distance.
+    * Size is O(len^maxDel) per term (~1 + L + L²/2 at maxDel=2). */
+  def deletionVariants(s: String, maxDel: Int): Array[String] = {
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    var frontier = Array(s)
+    var d = 0
+    while (d < maxDel && frontier.nonEmpty) {
+      val next = new java.util.LinkedHashSet[String]()
+      frontier.foreach { v =>
+        if (v.length > 1) { // never shrink a term to the empty key
+          var i = 0
+          while (i < v.length) {
+            val w = v.substring(0, i) + v.substring(i + 1)
+            if (out.add(w)) next.add(w)
+            i += 1
+          }
+        }
+      }
+      frontier = next.toArray(new Array[String](next.size))
+      d += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
   // ---- ingest gates (F1/F2 analogues) ------------------------------------
 
   val MaxFileLen: Long = 1L << 30 // 1 GiB (write.go:143)

@@ -25,11 +25,20 @@ final case class BuiltIndex(
       * groups via the rev min/max stats, exactly like [[Search.expandPrefix]]
       * on the forward dictionary. None on in-memory builds (suffix falls
       * back to the documented O(vocabulary) dictionary scan). */
-    revdict: Option[DataFrame] = None) {
+    revdict: Option[DataFrame] = None,
+    /** Deletion-neighborhood dictionary (key = a string obtained from some
+      * term by deleting up to [[IndexBuilder.DelDictMaxDist]] chars; one
+      * (key, term) row per variant, globally sorted by key on disk — the
+      * FastSS/SymSpell scheme, see [[graft.functions.Text.deletionVariants]]).
+      * Lets fuzzy lookup and spell suggestion run as O(|query variants|)
+      * point lookups with parquet min/max pruning instead of the
+      * O(vocabulary) levenshtein scan. None on in-memory builds (fuzzy/
+      * suggest fall back to the documented dictionary scan). */
+    deldict: Option[DataFrame] = None) {
 
   def cache(): BuiltIndex = {
     docmap.cache(); docnorms.cache(); postings.cache(); termstats.cache()
-    trigrams.foreach(_.cache()); revdict.foreach(_.cache())
+    trigrams.foreach(_.cache()); revdict.foreach(_.cache()); deldict.foreach(_.cache())
     this
   }
 }
@@ -309,6 +318,22 @@ private final class TriShardIndexer(shard: Int, docsPerShard: Long, blockSize: I
 }
 
 object IndexBuilder {
+
+  /** Deletion budget the persisted deldict is generated with; lookups for
+    * any edit distance up to this value can use it (the stored variants
+    * are a superset of smaller budgets). Beyond it, fuzzy/suggest fall
+    * back to the dictionary scan. */
+  val DelDictMaxDist = 2
+
+  /** (key, term) deletion-variant rows of a term dictionary — shared by
+    * the persisted delterms stage and the merge paths (a merged index
+    * re-derives it from the merged termstats, like revdict). */
+  def deldictOf(spark: SparkSession, terms: DataFrame): DataFrame = {
+    import spark.implicits._
+    terms.select("term").as[String]
+      .flatMap(t => Text.deletionVariants(t, DelDictMaxDist).map(k => (k, t)))
+      .toDF("key", "term")
+  }
 
   final case class Config(
       docsPerShard: Long = 1L << 14,
@@ -811,6 +836,20 @@ object IndexBuilder {
       commitStage(dir, "termstats"); stageEnd("termstats"); ran += 1
     }
 
+    if (!stageDone(dir, "delterms")) {
+      // deletion-neighborhood dictionary, globally sorted by key: fuzzy
+      // lookup / spell suggestion become O(|query variants|) point lookups
+      // with parquet min/max pruning instead of an O(vocabulary) scan —
+      // the same persisted-sorted-dictionary trick as revterms below.
+      // O(|vocab| · len²) rows at DelDictMaxDist=2 — the documented
+      // SymSpell space-for-time trade (still O(dictionary), never O(corpus)).
+      deldictOf(spark, spark.read.parquet(s"$dir/termstats").select("term"))
+        .repartitionByRange(8, col("key"))
+        .sortWithinPartitions("key")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/delterms")
+      commitStage(dir, "delterms"); stageEnd("delterms"); ran += 1
+    }
+
     if (!stageDone(dir, "revterms")) {
       // reversed-term dictionary, globally sorted by rev: suffix wildcards
       // become a rev-prefix range with parquet min/max pruning (the same
@@ -875,6 +914,9 @@ object IndexBuilder {
       spark.read.parquet(s"$dir/termstats").as[TermStats],
       revdict = // optional (pre-r04 layouts): suffix falls back to a scan
         if (stageDone(dir, "revterms")) Some(spark.read.parquet(s"$dir/revterms"))
+        else None,
+      deldict = // optional (pre-r05 layouts): fuzzy/suggest fall back to a scan
+        if (stageDone(dir, "delterms")) Some(spark.read.parquet(s"$dir/delterms"))
         else None)
   }
 

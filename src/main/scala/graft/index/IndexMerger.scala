@@ -103,11 +103,13 @@ object IndexMerger {
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats,
-      // merged reversed-term dictionary (|vocab| rows, from the merged
-      // termstats) so a published merge keeps the suffix-wildcard fast
-      // path instead of silently degrading to the dictionary scan
+      // merged reversed-term + deletion-neighborhood dictionaries (both
+      // O(vocab), from the merged termstats) so a published merge keeps
+      // the suffix-wildcard and fuzzy/suggest fast paths instead of
+      // silently degrading to dictionary scans
       revdict = Some(termstats.toDF()
-        .select(reverse(col("term")).as("rev"), col("term"))))
+        .select(reverse(col("term")).as("rev"), col("term"))),
+      deldict = Some(IndexBuilder.deldictOf(spark, termstats.toDF())))
   }
 
   /** Bench-only entry to force the re-encode path on aligned parts. */
@@ -188,11 +190,13 @@ object IndexMerger {
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats,
-      // merged reversed-term dictionary (|vocab| rows, from the merged
-      // termstats) so a published merge keeps the suffix-wildcard fast
-      // path instead of silently degrading to the dictionary scan
+      // merged reversed-term + deletion-neighborhood dictionaries (both
+      // O(vocab), from the merged termstats) so a published merge keeps
+      // the suffix-wildcard and fuzzy/suggest fast paths instead of
+      // silently degrading to dictionary scans
       revdict = Some(termstats.toDF()
-        .select(reverse(col("term")).as("rev"), col("term"))))
+        .select(reverse(col("term")).as("rev"), col("term"))),
+      deldict = Some(IndexBuilder.deldictOf(spark, termstats.toDF())))
   }
 
   private def reencodeTri(spark: SparkSession, occs: DataFrame, dps: Long,

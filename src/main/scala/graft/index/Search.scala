@@ -935,35 +935,57 @@ object Search {
   /** Spell suggestion ("did you mean") for a query term that returned
     * nothing: dictionary terms within Levenshtein distance `maxDist`,
     * ranked (dist ASC, df DESC, term ASC) — closest first, popularity
-    * as tiebreak, the standard correction order. Pure dictionary scan
-    * like [[expandFuzzy]] (same length-band prune, same O(vocabulary)
-    * cost argument); df comes free from termstats, so no posting is
-    * touched. Returns (term, dist, df) rows, top `k`. */
+    * as tiebreak, the standard correction order. On a persisted index the
+    * candidate set comes from the deletion-neighborhood dictionary
+    * ([[fuzzyCandidates]] — O(|query variants|) point lookups), with the
+    * same exact levenshtein re-filter; in-memory indexes scan the
+    * termstats dictionary (length-band pruned, O(vocabulary)). df comes
+    * free from termstats, so no posting is touched. Returns
+    * (term, dist, df) rows, top `k`. */
   def suggest(spark: SparkSession, idx: BuiltIndex, term: String,
       maxDist: Int = 2, k: Int = 5): DataFrame = {
     require(term.nonEmpty, "empty suggestion seed")
     require(maxDist >= 0 && k > 0)
     val norm = term.toLowerCase(java.util.Locale.ROOT)
-    idx.termstats.toDF()
-      .filter(length(col("term"))
-        .between(norm.length - maxDist, norm.length + maxDist))
+    fuzzyCandidates(idx, norm, maxDist)
       .withColumn("dist", levenshtein(col("term"), lit(norm)))
       .filter(col("dist") <= maxDist)
+      .join(idx.termstats.toDF().select(col("term"), col("df")), "term")
       .select(col("term"), col("dist"), col("df"))
       .orderBy(col("dist").asc, col("df").desc, col("term").asc)
       .limit(k)
   }
 
-  /** Dictionary expansion of a fuzzy term (sorted, capped). */
+  /** Candidate dictionary terms possibly within `maxDist` edits of `norm`
+    * (a SUPERSET — callers re-filter with the exact distance). Persisted
+    * indexes use the deletion-neighborhood dictionary: the query's own
+    * deletion variants become a `key IN (...)` point lookup on the
+    * key-sorted parquet (file/row-group pruned via min/max stats), the
+    * FastSS/SymSpell bound guaranteeing no true match is missed. Fallback:
+    * the length-banded termstats scan (distance >= length difference). */
+  private def fuzzyCandidates(idx: BuiltIndex, norm: String, maxDist: Int): DataFrame =
+    idx.deldict match {
+      case Some(dd) if maxDist <= IndexBuilder.DelDictMaxDist =>
+        val keys = graft.functions.Text.deletionVariants(norm, maxDist).toSeq
+        dd.filter(col("key").isin(keys: _*)).select(col("term")).distinct()
+      case _ =>
+        idx.termstats.toDF()
+          .filter(length(col("term"))
+            .between(norm.length - maxDist, norm.length + maxDist))
+          .select(col("term"))
+    }
+
+  /** Dictionary expansion of a fuzzy term (sorted, capped) — deletion-
+    * neighborhood lookup on persisted indexes, length-banded scan
+    * otherwise (see [[fuzzyCandidates]]); both re-filter with the exact
+    * levenshtein distance, so the expansion is identical. */
   def expandFuzzy(spark: SparkSession, idx: BuiltIndex, term: String,
       maxDist: Int = 1, maxExpand: Int = 1024): Seq[String] = {
     import spark.implicits._
     require(term.nonEmpty, "empty fuzzy term")
     require(maxDist >= 0 && maxExpand > 0)
     val norm = term.toLowerCase(java.util.Locale.ROOT)
-    val expanded = idx.termstats
-      .filter(length(col("term"))
-        .between(norm.length - maxDist, norm.length + maxDist))
+    val expanded = fuzzyCandidates(idx, norm, maxDist)
       .filter(levenshtein(col("term"), lit(norm)) <= maxDist)
       .select(col("term")).as[String]
       .limit(maxExpand + 1)

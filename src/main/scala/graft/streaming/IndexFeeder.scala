@@ -99,13 +99,20 @@ object IndexFeeder {
         java.nio.file.Paths.get(s"$dir/_COMMITTED_trigrams"),
         System.currentTimeMillis().toString)
     }
-    // the reversed-term dictionary (suffix-wildcard fast path) must
-    // survive a publish too — without it a published version silently
-    // degrades *fix queries to the O(vocabulary) fallback scan
+    // the reversed-term and deletion-neighborhood dictionaries (suffix-
+    // wildcard and fuzzy/suggest fast paths) must survive a publish too —
+    // without them a published version silently degrades those queries to
+    // the O(vocabulary) fallback scans
     idx.revdict.foreach { rd =>
       rd.orderBy("rev").write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/_COMMITTED_revterms"),
+        System.currentTimeMillis().toString)
+    }
+    idx.deldict.foreach { dd =>
+      dd.orderBy("key").write.mode(SaveMode.Overwrite).parquet(s"$dir/delterms")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_COMMITTED_delterms"),
         System.currentTimeMillis().toString)
     }
     // terminal marker (see IndexBuilder.buildPersistent): the publish

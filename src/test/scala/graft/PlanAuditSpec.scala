@@ -64,6 +64,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no rev-prefix pushdown visible:\n$plan")
   }
 
+  test("fuzzy/suggest use the deletion-neighborhood dictionary (key IN pushdown)") {
+    import org.apache.spark.sql.functions.col
+    assert(idx.deldict.isDefined, "persisted index should carry delterms")
+    // identity: deldict expansion == fallback levenshtein dictionary scan
+    val viaDel = Search.expandFuzzy(spark, idx, "qmarker3", maxDist = 1)
+    val viaScan = Search.expandFuzzy(spark, idx.copy(deldict = None), "qmarker3", maxDist = 1)
+    assert(viaDel == viaScan && viaDel.contains("qmarker3"))
+    val sDel = Search.suggest(spark, idx, "qmarker3x", maxDist = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val sScan = Search.suggest(spark, idx.copy(deldict = None), "qmarker3x", maxDist = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(sDel == sScan && sDel.nonEmpty)
+    // the lookup is a key IN (...) on the key-sorted parquet — pushed to
+    // the scan (file/row-group-prunable), never a full-dictionary pass
+    val keys = graft.functions.Text.deletionVariants("qmarker3", 1).toSeq
+    val df = idx.deldict.get.filter(col("key").isin(keys: _*))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(key"), s"no deldict key pushdown visible:\n$plan")
+  }
+
   test("docmap reads prune the text column") {
     val df = graft.queries.QueryRunner.run(spark, idx, "qmarker3 lang:de", 10)
     val plan = df.queryExecution.executedPlan.toString

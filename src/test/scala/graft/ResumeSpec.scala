@@ -24,8 +24,8 @@ class ResumeSpec extends AnyFunSuite {
     val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
     val ran1 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
     // docmap, docnorms, encode (postings+trigrams in one pass), termstats,
-    // revterms
-    assert(ran1 == 5)
+    // delterms, revterms
+    assert(ran1 == 6)
     val ran2 = IndexBuilder.buildPersistent(spark, docs, dir, cfg)
     assert(ran2 == 0) // fully resumed
 
