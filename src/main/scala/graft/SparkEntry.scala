@@ -174,9 +174,8 @@ object SparkEntry {
       val idx = index(s, dir)
       val dps = idx.meta.docsPerShard
       idx.postings.flatMap { b =>
-        Postings.decodePositions(b, dps).iterator.flatMap { case (d, ps) =>
-          ps.iterator.map(p => (b.term, d, p))
-        }
+        val (ds, ps) = Postings.decodePositionsFlat(b, dps)
+        Iterator.tabulate(ds.length)(i => (b.term, ds(i), ps(i)))
       }.toDF("term", "docid", "pos").orderBy("term", "docid", "pos")
     }),
     // J1: posting-list intersection

