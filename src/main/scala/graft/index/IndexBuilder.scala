@@ -41,6 +41,28 @@ final case class BuiltIndex(
     trigrams.foreach(_.cache()); revdict.foreach(_.cache()); deldict.foreach(_.cache())
     this
   }
+
+  /** Driver-side per-term stats memo: a termstats `collect()` job used to
+    * precede EVERY topK/topKAnd/scoreDocs/topKBatch call — one of the
+    * ~50 ms job dispatches that set the interactive-query latency floor
+    * (BENCH/BASELINE.md §3). Terms memoize per BuiltIndex (negative
+    * lookups too, as None), so repeat queries skip the job entirely;
+    * memory is O(distinct queried terms), never O(vocabulary). */
+  @transient private lazy val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
+
+  /** Stats for `terms` (absent terms omitted); one bounded collect() for
+    * the not-yet-memoized subset, no job when everything is cached. */
+  def stats(terms: Seq[String]): Map[String, TermStats] = {
+    val missing = terms.filterNot(statsMemo.contains)
+    if (missing.nonEmpty) {
+      val fetched = termstats
+        .filter(org.apache.spark.sql.functions.col("term").isin(missing: _*))
+        .collect().map(t => t.term -> t).toMap
+      missing.foreach(t => statsMemo.putIfAbsent(t, fetched.get(t)))
+    }
+    terms.iterator.flatMap(t => statsMemo(t).map(t -> _)).toMap
+  }
 }
 
 /** Growable primitive int buffer (no boxing). */

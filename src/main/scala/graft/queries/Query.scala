@@ -321,8 +321,8 @@ object QueryRunner {
     import spark.implicits._
     val sorted = terms.distinct.sorted
     if (sorted.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
-    val stats = idx.termstats.filter(col("term").isin(sorted: _*))
-      .collect().map(t => t.term -> t.df).toMap
+    // driver-memoized stats: no collect() job on repeat terms
+    val stats = idx.stats(sorted).map { case (t, s) => t -> s.df }
     val n = idx.meta.nDocs
     val avgdl = idx.meta.avgdl
     val dps = idx.meta.docsPerShard
