@@ -946,14 +946,18 @@ object IndexBuilder {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       s"""{"nDocs":${m.nDocs},"avgdl":${m.avgdl},"docsPerShard":${m.docsPerShard},""" +
         s""""nShards":${m.nShards},"blockSize":${m.blockSize},""" +
-        s""""hasPositions":${m.hasPositions},"version":${m.version}}""")
+        s""""hasPositions":${m.hasPositions},"version":${m.version},""" +
+        s""""textInDocs":${m.textInDocs}}""")
 
   def readMeta(path: String): IndexMeta = {
     val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     def f(k: String): String =
       s.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
+    // absent in pre-r05 metas, where the docs table always carried text
+    def fOpt(k: String, dflt: String): String =
+      if (s.contains(s""""$k":""")) f(k) else dflt
     IndexMeta(f("nDocs").toLong, f("avgdl").toDouble, f("docsPerShard").toLong,
       f("nShards").toInt, f("blockSize").toInt, f("hasPositions").toBoolean,
-      f("version").toInt)
+      f("version").toInt, fOpt("textInDocs", "true").toBoolean)
   }
 }

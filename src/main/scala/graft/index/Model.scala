@@ -26,7 +26,14 @@ final case class IndexMeta(
     nShards: Int,
     blockSize: Int,
     hasPositions: Boolean,
-    version: Int = 1)
+    version: Int = 1,
+    /** False for indexes published WITHOUT raw text in the docs table
+      * ([[graft.streaming.IndexFeeder.persist]]): posting/trigram search
+      * works, but substring/regexp/grep verification needs the caller to
+      * supply its own (docId, text) table — the published docs parquet has
+      * NO text column, so reading one fails loudly instead of silently
+      * verifying against empty strings. True (default) for full builds. */
+    textInDocs: Boolean = true)
 
 /** docid.map analogue: one row per document, docId dense in url order.
   * `indexable` records the trigram ingest gate (F1/F2, write.go:143-147):

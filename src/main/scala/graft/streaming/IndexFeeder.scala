@@ -70,24 +70,22 @@ object IndexFeeder {
   }
 
   /** Persist an in-memory BuiltIndex as a committed index directory
-    * (loadable by IndexBuilder.load; text column absent — queries needing
-    * raw text supply their own docs table). */
+    * (loadable by IndexBuilder.load). The docs table carries NO text
+    * column — an in-memory BuiltIndex holds only the docmap, and writing
+    * a fake `text=""` column (as pre-r05 persists did) made a caller who
+    * fed the published docs into substring/grepContext verify against
+    * silently-empty text. Now such a read fails loudly (missing column),
+    * and `meta.textInDocs=false` records the contract: supply your own
+    * (docId, text) table for verification-stage queries. */
   def persist(idx: BuiltIndex, dir: String): Unit = {
-    import org.apache.spark.sql.functions.lit
     new java.io.File(dir).mkdirs()
     idx.docmap.toDF()
-      .select(org.apache.spark.sql.functions.col("docId"),
-        org.apache.spark.sql.functions.col("url"),
-        lit("").as("text"),
-        org.apache.spark.sql.functions.col("lang"),
-        org.apache.spark.sql.functions.col("shard"),
-        org.apache.spark.sql.functions.col("dl"),
-        org.apache.spark.sql.functions.col("indexable"))
+      .select("docId", "url", "lang", "shard", "dl", "indexable")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     idx.docnorms.write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
     idx.postings.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
     idx.termstats.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-    IndexBuilder.writeMeta(s"$dir/meta.json", idx.meta)
+    IndexBuilder.writeMeta(s"$dir/meta.json", idx.meta.copy(textInDocs = false))
     Seq("docmap", "docnorms", "postings", "termstats").foreach { st =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/_COMMITTED_$st"),

@@ -156,4 +156,34 @@ class StreamingSpec extends AnyFunSuite {
     val viaRev = Search.expandSuffix(spark, published, "marker5")
     assert(viaRev == Seq("qmarker5"))
   }
+
+  test("published index enforces the docs-text contract (r05)") {
+    import org.apache.spark.sql.functions.col
+    // pre-r05 persists wrote a fake text="" column: a caller who fed the
+    // published docs into substring/grepContext verified against silently
+    // EMPTY text. Now the column is absent (loud failure) and
+    // meta.textInDocs records the contract.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pubtext").toString
+    val docsDf = PageGen.pages(spark, 150, 2).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 2)
+    val mem = IndexBuilder.build(spark, docsDf, cfg)
+    IndexFeeder.persist(mem, s"$dir/v1")
+    val pub = IndexBuilder.load(spark, s"$dir/v1")
+    assert(!pub.meta.textInDocs)
+    // reading raw text from the published docs table fails LOUDLY
+    val pubDocs = spark.read.parquet(s"$dir/v1/docs")
+    assert(!pubDocs.columns.contains("text"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      pubDocs.select("docId", "text").collect()
+    }
+    // substring over the published index with an EXTERNAL docs table
+    // works and matches a brute-force contains scan
+    val ext = mem.docmap.toDF().select(col("docId"), col("url"))
+      .join(docsDf, "url").select("docId", "text")
+    val got = Search.substring(spark, pub, ext, "qmarker5")
+      .collect().map(_.getLong(0)).sorted
+    val want = ext.filter(col("text").contains("qmarker5"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want) && want.nonEmpty)
+  }
 }
