@@ -46,13 +46,13 @@ final class Matcher private[queries] (
   def find(s: CharSequence): Boolean = {
     val sc = scratch.get()
     // id-space hygiene: ids must strictly increase across calls so stale
-    // marks from earlier finds can never equal a live id
-    if (sc.idBase > Int.MaxValue - 2 * (s.length + 2)) {
-      java.util.Arrays.fill(sc.mark, -1)
-      sc.idBase = 0
-    }
+    // marks from earlier finds can never equal a live id. Ids are Long:
+    // the old Int space needed a wrap guard whose `2 * (s.length + 2)`
+    // reservation itself overflowed Int for ~1G-char inputs (ADVICE r04),
+    // risking stale-mark thread drops; a Long id space cannot wrap
+    // (~2^62 total chars across a thread's lifetime).
     try findImpl(s, sc)
-    finally sc.idBase += 2 * (s.length + 2) // strictly above any id used
+    finally sc.idBase += 2L * (s.length + 2) // strictly above any id used
   }
 
   private def findImpl(s: CharSequence, sc: Scratch): Boolean = {
@@ -173,12 +173,12 @@ final class Matcher private[queries] (
 object Matcher {
   /** Reusable per-thread NFA simulation buffers (see [[Matcher.scratch]]). */
   private final class Scratch(n: Int) {
-    val mark = new Array[Int](n)
-    java.util.Arrays.fill(mark, -1)
+    val mark = new Array[Long](n) // Long ids: no wrap guard needed (find())
+    java.util.Arrays.fill(mark, -1L)
     var clist = new Array[Int](n)
     var nlist = new Array[Int](n)
     val stack = new Array[Int](n + 1)
-    var idBase = 0
+    var idBase = 0L
   }
 
   private[queries] sealed trait Inst extends Serializable

@@ -171,10 +171,18 @@ object QueryParser {
     // out of the boolean grammar), so inside a parenthesized group they
     // would silently change `(a* b) OR (c d)` semantics — reject them
     // there with a clear error instead (ADVICE r03)
+    // depth CLAMPS at zero on an orphan ')' (ADVICE r04): without the
+    // clamp, `a) (sort* b)` counts the real '(' back to depth 0 and the
+    // atom inside a genuine group is silently lifted to a whole-query
+    // restriction instead of rejected by the in-group guard
     def depthAt(i: Int): Int = {
       var d = 0
       var j = 0
-      while (j < i) { if (toks(j) == "(") d += 1 else if (toks(j) == ")") d -= 1; j += 1 }
+      while (j < i) {
+        if (toks(j) == "(") d += 1
+        else if (toks(j) == ")") d = math.max(0, d - 1)
+        j += 1
+      }
       d
     }
     var ti = 0
@@ -211,7 +219,7 @@ object QueryParser {
     while (ti < toks.length) {
       val t = toks(ti)
       if (t == "(") { depth += 1; ti += 1 }
-      else if (t == ")") { depth -= 1; ti += 1 }
+      else if (t == ")") { depth = math.max(0, depth - 1); ti += 1 } // clamp: see depthAt
       else {
         val isAtom = t.length > 1 &&
           (t.endsWith("*") || t.startsWith("*") || t.endsWith("~"))

@@ -306,4 +306,15 @@ class QueryParserSpec extends AnyFunSuite {
     assert(c4.prefixes == Seq("sort"))
     assert(c4.scoringTerms == Seq("aa"))
   }
+
+  test("depth clamps at zero on orphan ')' (ADVICE r04)") {
+    // without the clamp, `a) (sort* b)` counts the later real '(' back to
+    // depth 0 and the atom inside a GENUINE group is silently lifted to a
+    // whole-query restriction instead of rejected by the in-group guard
+    val e1 = intercept[IllegalArgumentException](QueryParser.parse("a) (sort* b)"))
+    assert(e1.getMessage.contains("not supported inside"))
+    // same clamp in depthAt for NEAR atoms
+    val e2 = intercept[IllegalArgumentException](QueryParser.parse("x) (a NEAR/3 b)"))
+    assert(e2.getMessage.contains("not supported inside"))
+  }
 }

@@ -32,23 +32,37 @@ if [ -z "${FROZEN:-}" ]; then
 fi
 . tools/jvm_opens.sh
 
+
+# only THIS harness's executor backends: the launcher tags executor JVMs
+# with -Dgraft.harness (via SPARK_GRAFT_EXEC_EXTRAOPTS ->
+# spark.executor.extraJavaOptions), so a concurrent unrelated Spark job's
+# executors are never killed, waited on, or pinned (ADVICE r04)
+graft_executors() {
+  local p
+  for p in $(graft_executors 2>/dev/null); do
+    if tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null | grep -q "graft.harness"; then
+      echo "$p"
+    fi
+  done
+}
+
 run() {
   local w=$1 c=$2 mem=$3 corpus=$4 nhigh=$5 tag=$6; shift 6
   local sets=("$@")
   local pf=/dev/shm/graft-spark/pin_$tag
   rm -f "$pf"
   local drain=0
-  while pgrep -f "executor.CoarseGrainedExecutorBackend" >/dev/null 2>&1; do
+  while [ -n "$(graft_executors)" ]; do
     drain=$((drain+1)); [ $drain -gt 60 ] && break; sleep 1
   done
   # stale executors past the drain window would satisfy the pin loop and
   # steal the core assignments from the REAL executors: kill by pid
-  for sp in $(pgrep -f "executor.CoarseGrainedExecutorBackend"); do
+  for sp in $(graft_executors); do
     kill -9 "$sp" 2>/dev/null
   done
   SPARK_GRAFT_NHIGH=$nhigh SPARK_GRAFT_PINFILE=$pf \
   SPARK_GRAFT_CLASSES=$FROZEN \
-  SPARK_GRAFT_EXEC_EXTRAOPTS="-XX:ActiveProcessorCount=$c -XX:ParallelGCThreads=$c" \
+  SPARK_GRAFT_EXEC_EXTRAOPTS="-Dgraft.harness=1 -XX:ActiveProcessorCount=$c -XX:ParallelGCThreads=$c" \
     java $ADDOPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$FROZEN:/opt/spark/jars/*" graft.tools.ClusterQuery $w $c $mem $corpus $NQ $tag \
     > /tmp/cq_$tag.out 2>&1 &
@@ -57,7 +71,7 @@ run() {
   local pids=()
   while true; do
     kill -0 "$jpid" 2>/dev/null || { echo "[clusterq] $tag: driver died early" >>"$LOG"; break; }
-    mapfile -t pids < <(pgrep -f "executor.CoarseGrainedExecutorBackend" | sort -n)
+    mapfile -t pids < <(graft_executors | sort -n)
     [ "${#pids[@]}" -ge "$w" ] && break
     tries=$((tries+1))
     if [ $tries -gt 600 ]; then echo "[clusterq] $tag: executors never appeared" >>"$LOG"; break; fi

@@ -29,35 +29,62 @@ ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.ne
   java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
   sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
 
+
+# only THIS harness's executor backends: the launcher tags executor JVMs
+# with -Dgraft.harness (via SPARK_GRAFT_EXEC_EXTRAOPTS ->
+# spark.executor.extraJavaOptions), so a concurrent unrelated Spark job's
+# executors are never killed, waited on, or pinned (ADVICE r04)
+graft_executors() {
+  local p
+  for p in $(graft_executors 2>/dev/null); do
+    if tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null | grep -q "graft.harness"; then
+      echo "$p"
+    fi
+  done
+}
+
 run() {
   local w=$1 c=$2 mem=$3 corpus=$4 nhigh=$5 tag=$6; shift 6
   local sets=("$@")
   local pf=/dev/shm/graft-spark/pin_$tag
   rm -f "$pf"
   local drain=0
-  while pgrep -f "executor.CoarseGrainedExecutorBackend" >/dev/null 2>&1; do
+  while [ -n "$(graft_executors)" ]; do
     drain=$((drain+1)); [ $drain -gt 60 ] && break; sleep 1
+  done
+  # stale executors surviving the drain window would satisfy the pin loop
+  # and double-book core sets with the REAL executors (ADVICE r04): kill
+  # leftovers by pid (harness-scoped, see graft_executors)
+  local sp
+  for sp in $(graft_executors); do
+    kill -9 "$sp" 2>/dev/null
   done
   SPARK_GRAFT_NHIGH=$nhigh SPARK_GRAFT_PINFILE=$pf \
   SPARK_GRAFT_CLASSES=$FROZEN \
-  SPARK_GRAFT_EXEC_EXTRAOPTS="-XX:ActiveProcessorCount=$c -XX:ParallelGCThreads=$c" \
+  SPARK_GRAFT_EXEC_EXTRAOPTS="-Dgraft.harness=1 -XX:ActiveProcessorCount=$c -XX:ParallelGCThreads=$c" \
     java $ADDOPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$FROZEN:/opt/spark/jars/*" graft.tools.ClusterBuild $w $c $mem $corpus $tag \
     > /tmp/cbf_$tag.out 2>&1 &
   local sbtpid=$!
   local tries=0
   while true; do
-    mapfile -t pids < <(pgrep -f "executor.CoarseGrainedExecutorBackend" | sort -n)
+    mapfile -t pids < <(graft_executors | sort -n)
     [ "${#pids[@]}" -ge "$w" ] && break
     tries=$((tries+1))
     if [ $tries -gt 600 ]; then echo "[cluster] $tag: executors never appeared" >>"$LOG"; break; fi
     sleep 0.5
   done
-  local i=0
-  for pid in "${pids[@]}"; do
-    taskset -a -p -c "${sets[$i]}" "$pid" >/dev/null 2>&1
-    i=$(( (i+1) % ${#sets[@]} ))
-  done
+  # pin only when the EXPECTED executor set appeared, and only the first
+  # W pids (one per core set) - the old modulo wrap silently double-booked
+  # core sets when an extra backend matched (ADVICE r04)
+  if [ "${#pids[@]}" -ge "$w" ]; then
+    local i
+    for ((i = 0; i < w; i++)); do
+      taskset -a -p -c "${sets[$i]}" "${pids[$i]}" >/dev/null 2>&1
+    done
+  else
+    echo "[cluster] $tag: pin skipped (${#pids[@]}/$w executors)" >>"$LOG"
+  fi
   local dpid
   dpid=$(pgrep -f "graft.tools.ClusterBuild" | head -1)
   [ -n "$dpid" ] && taskset -a -p -c 28-31 "$dpid" >/dev/null 2>&1
