@@ -615,30 +615,42 @@ object IndexBuilder {
       .as[(Int, Long, String)]
     docs.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
-      var tok: ShardIndexer = null
-      var tri: TriShardIndexer = null
       var curShard = -1
       var rows = 0L
       val seen = new java.util.BitSet(1 << 24) // reused across docs in task
       val tokBlocks = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
       val triBlocks = scala.collection.mutable.ArrayBuffer.empty[TriBlock]
-      def flush(): Unit = {
-        if (tok != null) tokBlocks ++= tok.finish(withPositions = true)
-        if (tri != null) triBlocks ++= tri.finish()
+      // one shard's docs buffered (refs to the shuffle rows' strings — no
+      // copy; docsPerShard is sized to task memory, so the buffer is small
+      // next to the accumulators), then the token loop runs over the whole
+      // shard FOLLOWED BY the trigram loop: interleaving the two per doc
+      // measured ~10-20% SLOWER than the separate stages (EncodeBench r05
+      // — the two accumulators thrash each other's cache working set),
+      // while shard-granular phases keep each loop's cache behavior
+      // identical to a dedicated stage and still shuffle the text once.
+      val bufLocal = new IntBuf(1024)
+      val bufText = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(shard: Int): Unit = if (shard >= 0 && bufText.nonEmpty) {
+        val tok = new ShardIndexer(shard, dps, cfg.blockSize)
+        var i = 0
+        while (i < bufText.length) { tok.addDoc(bufLocal(i), bufText(i)); i += 1 }
+        tokBlocks ++= tok.finish(withPositions = true)
+        if (buildTri) {
+          val tri = new TriShardIndexer(shard, dps, cfg.blockSize)
+          i = 0
+          while (i < bufText.length) { scanTrigrams(tri, bufLocal(i), bufText(i), seen); i += 1 }
+          triBlocks ++= tri.finish()
+        }
+        bufText.clear()
+        bufLocal.len = 0
       }
       it.foreach { case (shard, id, text) =>
         rows += 1
-        if (shard != curShard) {
-          flush()
-          tok = new ShardIndexer(shard, dps, cfg.blockSize)
-          tri = if (buildTri) new TriShardIndexer(shard, dps, cfg.blockSize) else null
-          curShard = shard
-        }
-        val local = (id - shard.toLong * dps).toInt
-        tok.addDoc(local, text)
-        if (buildTri) scanTrigrams(tri, local, text, seen)
+        if (shard != curShard) { flush(curShard); curShard = shard }
+        bufLocal.add((id - shard.toLong * dps).toInt)
+        bufText += text
       }
-      flush()
+      flush(curShard)
       writeLineage(cfg.lineageDir, "postings", rows,
         tokBlocks.iterator.map(_.term).toSet.size.toLong, tokBlocks.length,
         tokBlocks.iterator.map(b => b.docs.length.toLong + b.tfs.length + b.pos.length).sum,
@@ -843,8 +855,14 @@ object IndexBuilder {
     // stay so resume/publish gating and batchDirs() are unchanged.
     if (!stageDone(dir, "postings") ||
         (cfg.buildTrigrams && !stageDone(dir, "trigrams"))) {
+      // plain write, kind as a normal column: each task emits all its
+      // token blocks then all its trigram blocks, so row groups stay
+      // kind-pure and the kind filter prunes on parquet min/max stats.
+      // partitionBy(kind) would plan a per-task SORT of the whole block
+      // set (multi-MB rows through the external sorter) — measured ~5%
+      // slower end-to-end (EncodeBench r05).
       encodeCombined(spark, docText, meta.docsPerShard, cfg)
-        .write.mode(SaveMode.Overwrite).partitionBy("kind").parquet(s"$dir/blocks")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/blocks")
       commitStage(dir, "postings", cfg.partitions)
       if (cfg.buildTrigrams) commitStage(dir, "trigrams", cfg.partitions)
       stageEnd("encode"); ran += 1

@@ -89,10 +89,13 @@ final case class TriBlock(
   * the corpus text (the text column is the dominant DRAM stream of the
   * whole build; dcs likewise indexes each package in one pass over the
   * unpacked tree, reference `cmd/dcs-package-importer/importer.go:392-469`).
-  * On disk the dataset is parquet `partitionBy(kind)`, so reading one
-  * family prunes the other's directories entirely; the unused columns of
-  * each family (`tri` for tokens, `term`/`cf`/`maxTf`/`tfs` for trigrams)
-  * are nulls/zeros that parquet RLE-compresses to nothing. */
+  * On disk the dataset is one parquet dir with `kind` as a leading
+  * column; each encode task emits all its token blocks before its
+  * trigram blocks, so row groups stay kind-pure and a kind filter prunes
+  * on parquet min/max stats (a `partitionBy(kind)` layout would add a
+  * per-task sort of the whole block set — measured slower). The unused
+  * columns of each family (`tri` for tokens, `term`/`cf`/`maxTf`/`tfs`
+  * for trigrams) are nulls/zeros that parquet RLE-compresses to nothing. */
 final case class EncodedBlock(
     kind: Int,
     term: String,

@@ -37,7 +37,9 @@ object BuildOnce {
     val nDocs = docs.count()
     val cfg = IndexBuilder.Config(
       docsPerShard = math.max(1L, nDocs / (nHigh * 2L)),
-      blockSize = 256, buildTrigrams = false, partitions = cores * 2)
+      blockSize = 256,
+      buildTrigrams = sys.env.get("SPARK_GRAFT_TRIGRAMS").contains("1"),
+      partitions = cores * 2)
     // warmup build in the SAME pinned JVM (JIT+classloading), then timed
     def buildTo(out: String, stage: (String, Double) => Unit): Double = {
       val t0 = System.nanoTime()

@@ -40,9 +40,13 @@ object ClusterBuild {
     // tasks, balls-into-bins leaves ~1/e tasks empty and 2-3x stragglers —
     // and production sizes shards to task memory, far more than 2/core).
     val spc = sys.env.getOrElse("SPARK_GRAFT_SHARDS_PER_CORE", "8").toInt
+    // SPARK_GRAFT_TRIGRAMS=1 measures the FULL build (token + trigram
+    // sections in the combined one-pass encode); default keeps the
+    // token-only shape of the r03/r04 records for comparability
+    val withTri = sys.env.get("SPARK_GRAFT_TRIGRAMS").contains("1")
     val cfg = IndexBuilder.Config(
       docsPerShard = math.max(1L, nDocs / (nHigh.toLong * spc)),
-      blockSize = 256, buildTrigrams = false, partitions = totalCores * 2)
+      blockSize = 256, buildTrigrams = withTri, partitions = totalCores * 2)
     def buildTo(out: String): Double = {
       val t0 = System.nanoTime()
       IndexBuilder.buildPersistent(spark, docs, out, cfg,
