@@ -39,7 +39,7 @@ fi
 # executors are never killed, waited on, or pinned (ADVICE r04)
 graft_executors() {
   local p
-  for p in $(graft_executors 2>/dev/null); do
+  for p in $(pgrep -f "executor.CoarseGrainedExecutorBackend" 2>/dev/null); do
     if tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null | grep -q "graft.harness"; then
       echo "$p"
     fi

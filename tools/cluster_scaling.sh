@@ -37,7 +37,7 @@ ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.ne
 # executors are never killed, waited on, or pinned (ADVICE r04)
 graft_executors() {
   local p
-  for p in $(graft_executors 2>/dev/null); do
+  for p in $(pgrep -f "executor.CoarseGrainedExecutorBackend" 2>/dev/null); do
     if tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null | grep -q "graft.harness"; then
       echo "$p"
     fi
