@@ -124,13 +124,16 @@ object Text {
     while (d < maxDel && frontier.nonEmpty) {
       val next = new java.util.LinkedHashSet[String]()
       frontier.foreach { v =>
-        if (v.length > 1) { // never shrink a term to the empty key
-          var i = 0
-          while (i < v.length) {
-            val w = v.substring(0, i) + v.substring(i + 1)
-            if (out.add(w)) next.add(w)
-            i += 1
-          }
+        // length-1 strings MUST shrink to the empty key: two terms within
+        // distance d can share ONLY the empty string as a common deletion
+        // (e.g. "a"~"b" at d=1), so dropping it breaks the FastSS
+        // completeness bound — the dictionary lookup would miss matches
+        // the fallback scan returns (code-review r05)
+        var i = 0
+        while (i < v.length) {
+          val w = v.substring(0, i) + v.substring(i + 1)
+          if (out.add(w)) next.add(w)
+          i += 1
         }
       }
       frontier = next.toArray(new Array[String](next.size))

@@ -347,9 +347,16 @@ object IndexBuilder {
     * back to the dictionary scan. */
   val DelDictMaxDist = 2
 
+  /** Per-task text-buffer budget of the combined encode pass, in chars
+    * (~64 MB of UTF-16): the batch granularity at which the token loop
+    * hands over to the trigram loop. Large enough that the working-set
+    * switch amortizes to noise, small enough that buffered text never
+    * dominates task memory however large docsPerShard is. */
+  val EncodeBatchChars: Long = 32L << 20
+
   /** (key, term) deletion-variant rows of a term dictionary — shared by
-    * the persisted delterms stage and the merge paths (a merged index
-    * re-derives it from the merged termstats, like revdict). */
+    * the persisted delterms stage and IndexFeeder.persist (a published
+    * merge re-derives it from the merged termstats, like revdict). */
   def deldictOf(spark: SparkSession, terms: DataFrame): DataFrame = {
     import spark.implicits._
     terms.select("term").as[String]
@@ -620,35 +627,51 @@ object IndexBuilder {
       val seen = new java.util.BitSet(1 << 24) // reused across docs in task
       val tokBlocks = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
       val triBlocks = scala.collection.mutable.ArrayBuffer.empty[TriBlock]
-      // one shard's docs buffered (refs to the shuffle rows' strings — no
-      // copy; docsPerShard is sized to task memory, so the buffer is small
-      // next to the accumulators), then the token loop runs over the whole
-      // shard FOLLOWED BY the trigram loop: interleaving the two per doc
-      // measured ~10-20% SLOWER than the separate stages (EncodeBench r05
-      // — the two accumulators thrash each other's cache working set),
-      // while shard-granular phases keep each loop's cache behavior
-      // identical to a dedicated stage and still shuffle the text once.
+      // docs buffered in BOUNDED batches (refs to the shuffle rows'
+      // strings — no copy), then the token loop runs over the whole batch
+      // FOLLOWED BY the trigram loop into the same per-shard indexers:
+      // interleaving the two PER DOC measured ~10-20% SLOWER than the
+      // separate stages (EncodeBench r05 — the two accumulators thrash
+      // each other's cache working set), while batch-granular phases
+      // amortize the working-set switch over EncodeBatchChars of streamed
+      // text. The batch cap (not whole-shard buffering) keeps peak task
+      // memory at accumulators + O(EncodeBatchChars) regardless of
+      // docsPerShard — a shard sized to the accumulator budget alone must
+      // not OOM on the text buffer (code-review r05). Indexers live for
+      // the shard, so the encoded output is byte-identical to unbatched.
       val bufLocal = new IntBuf(1024)
       val bufText = scala.collection.mutable.ArrayBuffer.empty[String]
-      def flush(shard: Int): Unit = if (shard >= 0 && bufText.nonEmpty) {
-        val tok = new ShardIndexer(shard, dps, cfg.blockSize)
+      var bufChars = 0L
+      var tok: ShardIndexer = null
+      var tri: TriShardIndexer = null
+      def drain(): Unit = if (bufText.nonEmpty) {
         var i = 0
         while (i < bufText.length) { tok.addDoc(bufLocal(i), bufText(i)); i += 1 }
-        tokBlocks ++= tok.finish(withPositions = true)
         if (buildTri) {
-          val tri = new TriShardIndexer(shard, dps, cfg.blockSize)
           i = 0
           while (i < bufText.length) { scanTrigrams(tri, bufLocal(i), bufText(i), seen); i += 1 }
-          triBlocks ++= tri.finish()
         }
         bufText.clear()
         bufLocal.len = 0
+        bufChars = 0L
+      }
+      def flush(shard: Int): Unit = if (shard >= 0) {
+        drain()
+        tokBlocks ++= tok.finish(withPositions = true)
+        if (buildTri) triBlocks ++= tri.finish()
+        tok = null; tri = null
       }
       it.foreach { case (shard, id, text) =>
         rows += 1
-        if (shard != curShard) { flush(curShard); curShard = shard }
+        if (shard != curShard) {
+          flush(curShard); curShard = shard
+          tok = new ShardIndexer(shard, dps, cfg.blockSize)
+          if (buildTri) tri = new TriShardIndexer(shard, dps, cfg.blockSize)
+        }
         bufLocal.add((id - shard.toLong * dps).toInt)
         bufText += text
+        bufChars += text.length
+        if (bufChars >= EncodeBatchChars) drain()
       }
       flush(curShard)
       writeLineage(cfg.lineageDir, "postings", rows,
@@ -869,7 +892,14 @@ object IndexBuilder {
     }
 
     if (!stageDone(dir, "termstats")) {
-      readPostingBlocks(spark, dir)
+      // resume compatibility: a pre-r05 build interrupted after its
+      // postings stage committed has $dir/postings, not the combined
+      // $dir/blocks — read whichever layout exists, like load() does
+      // (code-review r05)
+      val blocks =
+        if (new java.io.File(s"$dir/blocks").exists()) readPostingBlocks(spark, dir)
+        else spark.read.parquet(s"$dir/postings").as[PostingBlock]
+      blocks.toDF()
         .groupBy("term")
         .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxTf").as("maxTf"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")

@@ -103,13 +103,17 @@ object IndexMerger {
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats,
-      // merged reversed-term + deletion-neighborhood dictionaries (both
-      // O(vocab), from the merged termstats) so a published merge keeps
-      // the suffix-wildcard and fuzzy/suggest fast paths instead of
-      // silently degrading to dictionary scans
+      // merged reversed-term dictionary (a cheap O(vocab) projection of
+      // the merged termstats) so suffix wildcards keep their fast path.
+      // NO deldict here: deldictOf is O(|vocab|·len²) + a distinct, and an
+      // uncached in-memory merge would re-derive it per fuzzy/suggest
+      // query — strictly worse than the fallback scan those paths keep
+      // for in-memory indexes. IndexFeeder.persist regenerates delterms
+      // from termstats at publish time, so a PUBLISHED merge still loads
+      // with the point-lookup fast path (code-review r05).
       revdict = Some(termstats.toDF()
         .select(reverse(col("term")).as("rev"), col("term"))),
-      deldict = Some(IndexBuilder.deldictOf(spark, termstats.toDF())))
+      deldict = None)
   }
 
   /** Bench-only entry to force the re-encode path on aligned parts. */
@@ -192,13 +196,17 @@ object IndexMerger {
 
     val meta = IndexMeta(nDocs, avgdl, dps, nShards, cfg.blockSize, hasPositions = true)
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats,
-      // merged reversed-term + deletion-neighborhood dictionaries (both
-      // O(vocab), from the merged termstats) so a published merge keeps
-      // the suffix-wildcard and fuzzy/suggest fast paths instead of
-      // silently degrading to dictionary scans
+      // merged reversed-term dictionary (a cheap O(vocab) projection of
+      // the merged termstats) so suffix wildcards keep their fast path.
+      // NO deldict here: deldictOf is O(|vocab|·len²) + a distinct, and an
+      // uncached in-memory merge would re-derive it per fuzzy/suggest
+      // query — strictly worse than the fallback scan those paths keep
+      // for in-memory indexes. IndexFeeder.persist regenerates delterms
+      // from termstats at publish time, so a PUBLISHED merge still loads
+      // with the point-lookup fast path (code-review r05).
       revdict = Some(termstats.toDF()
         .select(reverse(col("term")).as("rev"), col("term"))),
-      deldict = Some(IndexBuilder.deldictOf(spark, termstats.toDF())))
+      deldict = None)
   }
 
   private def reencodeTri(spark: SparkSession, occs: DataFrame, dps: Long,

@@ -1091,29 +1091,32 @@ object Search {
     fuzzyCandidates(idx, norm, maxDist)
       .withColumn("dist", levenshtein(col("term"), lit(norm)))
       .filter(col("dist") <= maxDist)
-      .join(idx.termstats.toDF().select(col("term"), col("df")), "term")
       .select(col("term"), col("dist"), col("df"))
       .orderBy(col("dist").asc, col("df").desc, col("term").asc)
       .limit(k)
   }
 
-  /** Candidate dictionary terms possibly within `maxDist` edits of `norm`
-    * (a SUPERSET — callers re-filter with the exact distance). Persisted
-    * indexes use the deletion-neighborhood dictionary: the query's own
-    * deletion variants become a `key IN (...)` point lookup on the
-    * key-sorted parquet (file/row-group pruned via min/max stats), the
-    * FastSS/SymSpell bound guaranteeing no true match is missed. Fallback:
-    * the length-banded termstats scan (distance >= length difference). */
+  /** Candidate dictionary (term, df) rows possibly within `maxDist` edits
+    * of `norm` (a SUPERSET — callers re-filter with the exact distance).
+    * Persisted indexes use the deletion-neighborhood dictionary: the
+    * query's own deletion variants become a `key IN (...)` point lookup on
+    * the key-sorted parquet (file/row-group pruned via min/max stats), the
+    * FastSS/SymSpell bound guaranteeing no true match is missed; df joins
+    * in from termstats over the tiny candidate set. Fallback: the
+    * length-banded termstats scan (distance >= length difference), where
+    * df rides along for free — suggest must not pay a SECOND dictionary
+    * scan just to recover it (code-review r05). */
   private def fuzzyCandidates(idx: BuiltIndex, norm: String, maxDist: Int): DataFrame =
     idx.deldict match {
       case Some(dd) if maxDist <= IndexBuilder.DelDictMaxDist =>
         val keys = graft.functions.Text.deletionVariants(norm, maxDist).toSeq
         dd.filter(col("key").isin(keys: _*)).select(col("term")).distinct()
+          .join(idx.termstats.toDF().select(col("term"), col("df")), "term")
       case _ =>
         idx.termstats.toDF()
           .filter(length(col("term"))
             .between(norm.length - maxDist, norm.length + maxDist))
-          .select(col("term"))
+          .select(col("term"), col("df"))
     }
 
   /** Dictionary expansion of a fuzzy term (sorted, capped) — deletion-

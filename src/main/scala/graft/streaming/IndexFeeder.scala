@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, reverse}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.index.{BuiltIndex, IndexBuilder, IndexMerger, IndexPublisher}
@@ -100,19 +101,22 @@ object IndexFeeder {
     // the reversed-term and deletion-neighborhood dictionaries (suffix-
     // wildcard and fuzzy/suggest fast paths) must survive a publish too —
     // without them a published version silently degrades those queries to
-    // the O(vocabulary) fallback scans
-    idx.revdict.foreach { rd =>
-      rd.orderBy("rev").write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/_COMMITTED_revterms"),
-        System.currentTimeMillis().toString)
-    }
-    idx.deldict.foreach { dd =>
-      dd.orderBy("key").write.mode(SaveMode.Overwrite).parquet(s"$dir/delterms")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/_COMMITTED_delterms"),
-        System.currentTimeMillis().toString)
-    }
+    // the O(vocabulary) fallback scans. Both derive from termstats, so
+    // regenerate whichever the in-memory index doesn't carry (merges
+    // deliberately don't materialize the deldict — code-review r05)
+    val terms = idx.termstats.toDF().select("term")
+    idx.revdict
+      .getOrElse(terms.select(reverse(col("term")).as("rev"), col("term")))
+      .orderBy("rev").write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_COMMITTED_revterms"),
+      System.currentTimeMillis().toString)
+    idx.deldict
+      .getOrElse(IndexBuilder.deldictOf(idx.termstats.sparkSession, terms))
+      .orderBy("key").write.mode(SaveMode.Overwrite).parquet(s"$dir/delterms")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_COMMITTED_delterms"),
+      System.currentTimeMillis().toString)
     // terminal marker (see IndexBuilder.buildPersistent): the publish
     // swap gates on this one file
     java.nio.file.Files.writeString(

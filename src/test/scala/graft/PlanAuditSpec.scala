@@ -84,6 +84,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("In(key"), s"no deldict key pushdown visible:\n$plan")
   }
 
+  test("deldict lookup finds short terms whose only common deletion is empty") {
+    // FastSS completeness at the boundary: "a"~"b" (lev=1) share ONLY the
+    // empty string as a deletion variant — a deldict that never shrinks a
+    // term to the empty key silently misses them while the fallback scan
+    // does not (code-review r05). Toy dictionary, corpus-independent.
+    import spark.implicits._
+    import graft.index.TermStats
+    val toyStats = Seq(TermStats("a", 1L, 1L, 1), TermStats("b", 2L, 2L, 1),
+      TermStats("xy", 1L, 1L, 1)).toDS()
+    val toy = idx.copy(termstats = toyStats,
+      deldict = Some(IndexBuilder.deldictOf(spark, toyStats.toDF().select("term"))))
+    val viaDel = Search.expandFuzzy(spark, toy, "a", maxDist = 1)
+    val viaScan = Search.expandFuzzy(spark, toy.copy(deldict = None), "a", maxDist = 1)
+    assert(viaDel == Seq("a", "b") && viaDel == viaScan)
+    val s = Search.suggest(spark, toy, "a", maxDist = 1, k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(s == Seq(("a", 0, 1L), ("b", 1, 2L)))
+  }
+
   test("docmap reads prune the text column") {
     val df = graft.queries.QueryRunner.run(spark, idx, "qmarker3 lang:de", 10)
     val plan = df.queryExecution.executedPlan.toString
