@@ -347,11 +347,13 @@ object IndexBuilder {
     * back to the dictionary scan. */
   val DelDictMaxDist = 2
 
-  /** Per-task text-buffer budget of the combined encode pass, in chars
-    * (~64 MB of UTF-16): the batch granularity at which the token loop
-    * hands over to the trigram loop. Large enough that the working-set
-    * switch amortizes to noise, small enough that buffered text never
-    * dominates task memory however large docsPerShard is. */
+  /** Default for Config.encodeBatchChars — the combined encode pass's
+    * per-task text-buffer budget, in chars (~64 MB of UTF-16): the batch
+    * granularity at which the token loop hands over to the trigram loop.
+    * Large enough that the working-set switch amortizes to noise, small
+    * enough that buffered text never dominates task memory however large
+    * docsPerShard is. Batching never changes the output (identity spec in
+    * ResumeSpec). */
   val EncodeBatchChars: Long = 32L << 20
 
   /** (key, term) deletion-variant rows of a term dictionary — shared by
@@ -369,7 +371,8 @@ object IndexBuilder {
       blockSize: Int = 256,
       buildTrigrams: Boolean = true,
       partitions: Int = 32,
-      lineageDir: Option[String] = None)
+      lineageDir: Option[String] = None,
+      encodeBatchChars: Long = EncodeBatchChars)
 
   /** Deterministic dense docId assignment: global rank in `url` order
     * (dcs assigns docids by arrival order within a shard, write.go:151-152;
@@ -615,6 +618,7 @@ object IndexBuilder {
     clearLineage(cfg.lineageDir, "postings")
     if (cfg.buildTrigrams) clearLineage(cfg.lineageDir, "trigrams")
     val buildTri = cfg.buildTrigrams
+    val batchChars = cfg.encodeBatchChars
     val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
       .toDF("shard", "docId", "text")
       .repartition(cfg.partitions, col("shard"))
@@ -671,7 +675,7 @@ object IndexBuilder {
         bufLocal.add((id - shard.toLong * dps).toInt)
         bufText += text
         bufChars += text.length
-        if (bufChars >= EncodeBatchChars) drain()
+        if (bufChars >= batchChars) drain()
       }
       flush(curShard)
       writeLineage(cfg.lineageDir, "postings", rows,
