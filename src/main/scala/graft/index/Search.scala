@@ -208,6 +208,13 @@ private final class TermCursor(
 
 object Search {
 
+  /** Index terms are lowercase (Text.tokenize case-folds), so every raw
+    * term entry point folds too: topK("Spark") and topKBatch("Spark")
+    * must match the same docs — pre-r05 only the batch path folded
+    * (code-review r05). */
+  private def foldTerms(ts: Seq[String]): Seq[String] =
+    ts.map(_.toLowerCase(java.util.Locale.ROOT))
+
   /** Per-shard exact WAND top-k, then global top-k merge — the Spark
     * mirror of dcs's per-shard query + central top-10
     * (`cmd/dcs-web/querymanager.go:479-548`). Scores are summed in
@@ -219,7 +226,7 @@ object Search {
     */
   def topK(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    val terms = queryTerms.distinct.sorted
+    val terms = foldTerms(queryTerms).distinct.sorted
     val stats = idx.stats(terms) // driver-memoized: no job on repeat terms
     val live = terms.filter(stats.contains)
     if (live.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
@@ -409,11 +416,36 @@ object Search {
         byUb.foreach(t => remaining += ubs(t))
         var frozen = false
         var candSorted: Array[Long] = null
+        // k-th best PARTIAL score via a bounded primitive min-heap scan:
+        // O(|acc| log k) per freeze check instead of copy + full sort
+        // O(|acc| log |acc|) — the check runs per unfrozen term on exactly
+        // the stopword-heavy queries whose accumulators are largest
+        // (code-review r05). Same theta value, bit for bit.
+        val heapArr = new Array[Double](k)
+        def sift(start: Int): Unit = {
+          var i = start
+          var done = false
+          while (!done) {
+            val l = 2 * i + 1; val r = l + 1; var m = i
+            if (l < k && heapArr(l) < heapArr(m)) m = l
+            if (r < k && heapArr(r) < heapArr(m)) m = r
+            if (m == i) done = true
+            else { val t = heapArr(i); heapArr(i) = heapArr(m); heapArr(m) = t; i = m }
+          }
+        }
+        def kthBestAcc(): Double = { // requires acc.size >= k
+          var n = 0
+          acc.foreachValue { v =>
+            if (n < k) {
+              heapArr(n) = v; n += 1
+              if (n == k) { var i = k / 2 - 1; while (i >= 0) { sift(i); i -= 1 } }
+            } else if (v > heapArr(0)) { heapArr(0) = v; sift(0) }
+          }
+          heapArr(0)
+        }
         byUb.foreach { t =>
           if (!frozen && acc.size >= k) {
-            val vals = acc.values.toArray
-            java.util.Arrays.sort(vals)
-            val theta = vals(vals.length - k) // k-th best PARTIAL (≤ final)
+            val theta = kthBestAcc() // k-th best PARTIAL (≤ final)
             if (remaining < theta) {
               frozen = true
               candSorted = acc.keys.toArray
@@ -632,7 +664,7 @@ object Search {
     * scoring only aligned docs. Then global TakeOrdered, as in topK. */
   def topKAnd(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    val terms = queryTerms.distinct.sorted
+    val terms = foldTerms(queryTerms).distinct.sorted
     val stats = idx.stats(terms) // driver-memoized: no job on repeat terms
     if (terms.isEmpty || !terms.forall(stats.contains))
       return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
@@ -717,7 +749,7 @@ object Search {
     * `internal/index/query.go:48-62`). */
   def searchAnd(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val terms = queryTerms.distinct.sorted
+    val terms = foldTerms(queryTerms).distinct.sorted
     // NB: no separate absent-term pre-check job — a globally absent term
     // means byTerm.size < nTerms in EVERY shard, so the per-shard guard
     // below already yields the empty result in the same single Spark job
@@ -821,7 +853,7 @@ object Search {
   /** Posting OR (J2): union with dedup. */
   def searchOr(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val terms = queryTerms.distinct.sorted
+    val terms = foldTerms(queryTerms).distinct.sorted
     val dps = idx.meta.docsPerShard
     idx.postings.filter(col("term").isin(terms: _*))
       .groupByKey(_.shard)
@@ -877,9 +909,10 @@ object Search {
         org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     require(phraseTerms.nonEmpty)
-    val uniq = phraseTerms.distinct
+    val folded = foldTerms(phraseTerms) // index terms are case-folded
+    val uniq = folded.distinct
     val dps = idx.meta.docsPerShard
-    val termsWithOffsets = phraseTerms.zipWithIndex
+    val termsWithOffsets = folded.zipWithIndex
     idx.postings.filter(col("term").isin(uniq: _*))
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
@@ -898,12 +931,11 @@ object Search {
             // stay parallel primitive arrays (PosLookup) — no boxed
             // doc→positions map in the verification loop.
             val posByTerm: Map[String, Postings.PosLookup] = uniq.map { t =>
-              t -> Postings.posLookupOf(
-                restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
-                    b => (b.firstDoc, b.lastDoc), posAudit)
-                  .map(b => Postings.decodePositionsFlat(b, dps)).toSeq)
+              t -> restrictedPosLookup[PostingBlock](byTerm(t).iterator,
+                candidates, b => (b.firstDoc, b.lastDoc),
+                b => Postings.decodePositionsFlat(b, dps), posAudit)
             }.toMap
-            val headLookup = posByTerm(phraseTerms.head)
+            val headLookup = posByTerm(folded.head)
             candidates.iterator.filter { d =>
               val first = headLookup.positionsOf(d)
               var i = 0
@@ -938,7 +970,7 @@ object Search {
         org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     require(window >= 0, "window must be non-negative")
-    val uniq = Seq(termA, termB).distinct
+    val uniq = foldTerms(Seq(termA, termB)).distinct // index terms are folded
     require(uniq.length == 2, "near() needs two distinct terms")
     val dps = idx.meta.docsPerShard
     idx.postings.filter(col("term").isin(uniq: _*))
@@ -955,16 +987,15 @@ object Search {
             // positional in-decode restrict, as in [[phrase]]; primitive
             // PosLookup runs, no boxed doc→positions maps
             val posByTerm: Map[String, Postings.PosLookup] = uniq.map { t =>
-              t -> Postings.posLookupOf(
-                restrictBlocks[PostingBlock](byTerm(t).iterator, candidates,
-                    b => (b.firstDoc, b.lastDoc), posAudit)
-                  .map(b => Postings.decodePositionsFlat(b, dps)).toSeq)
+              t -> restrictedPosLookup[PostingBlock](byTerm(t).iterator,
+                candidates, b => (b.firstDoc, b.lastDoc),
+                b => Postings.decodePositionsFlat(b, dps), posAudit)
             }.toMap
             candidates.iterator.filter { d =>
               // merged two-pointer over the two sorted position lists:
               // O(|pa| + |pb|) min-gap check, no cross product
-              val pa = posByTerm(termA).positionsOf(d)
-              val pb = posByTerm(termB).positionsOf(d)
+              val pa = posByTerm(uniq(0)).positionsOf(d)
+              val pb = posByTerm(uniq(1)).positionsOf(d)
               var i = 0
               var j = 0
               var ok = false
@@ -1150,9 +1181,10 @@ object Search {
     * straight from its posting lists instead of re-scanning text. */
   def cooccurrence(spark: SparkSession, idx: BuiltIndex, term: String,
       topN: Int): DataFrame = {
-    val target = searchAnd(spark, idx, Seq(term))
+    val t = term.toLowerCase(java.util.Locale.ROOT) // index terms are folded
+    val target = searchAnd(spark, idx, Seq(t))
     restrictedTfRowsAllTerms(spark, idx, target)
-      .filter(col("term") =!= term)
+      .filter(col("term") =!= t)
       .groupBy("term").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("term").asc)
       .limit(topN)
@@ -1236,10 +1268,9 @@ object Search {
             // blocks whose doc range can hold a candidate decode positions;
             // primitive PosLookup runs, no boxed doc→positions maps
             def posOf(t: Int): Postings.PosLookup =
-              Postings.posLookupOf(
-                restrictBlocks[TriBlock](byTri(t).iterator, docsAll,
-                    b => (b.firstDoc, b.lastDoc), posAudit)
-                  .map(b => Postings.decodeTriPositionsFlat(b, dps)).toSeq)
+              restrictedPosLookup[TriBlock](byTri(t).iterator, docsAll,
+                b => (b.firstDoc, b.lastDoc),
+                b => Postings.decodeTriPositionsFlat(b, dps), posAudit)
             val firstPos = posOf(first)
             val lastPos = posOf(last)
             docsAll.iterator.filter { d =>
@@ -1279,7 +1310,9 @@ object Search {
     * trigram are candidates (first/last positional refinement over the
     * variant-union position lists), then `lower(text)` verification. */
   def substringNoCase(spark: SparkSession, idx: BuiltIndex, docs: DataFrame,
-      literal: String, maxScanDocs: Long = 1L << 20): DataFrame = {
+      literal: String, maxScanDocs: Long = 1L << 20,
+      posAudit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None): DataFrame = {
     import spark.implicits._
     val folded = literal.toLowerCase(java.util.Locale.ROOT)
     val verified: DataFrame => DataFrame = cand =>
@@ -1342,10 +1375,9 @@ object Search {
             // the ≤8 variants' runs overlap in doc space, so posLookupOf
             // k-way merges them into one sorted primitive run
             def posOf(lt: Int): Postings.PosLookup =
-              Postings.posLookupOf(
-                restrictBlocks[TriBlock](byFolded(lt).iterator, docsAll,
-                    b => (b.firstDoc, b.lastDoc), None)
-                  .map(b => Postings.decodeTriPositionsFlat(b, dps)).toSeq)
+              restrictedPosLookup[TriBlock](byFolded(lt).iterator, docsAll,
+                b => (b.firstDoc, b.lastDoc),
+                b => Postings.decodeTriPositionsFlat(b, dps), posAudit)
             val firstPos = posOf(first)
             val lastPos = posOf(last)
             docsAll.iterator.filter { d =>
@@ -1599,7 +1631,7 @@ object Search {
     * FIXTURES.md §2): tokenizes from scratch with DataFrame ops only —
     * shares no code with the index path. */
   def bruteForceTopK(spark: SparkSession, docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
-    val terms = queryTerms.distinct.sorted
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.sorted
     val toks = docs.select(col("docId"), explode(
       filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))).as("term"))
     val dl = toks.groupBy("docId").agg(count(lit(1)).as("dl"))
@@ -1645,6 +1677,19 @@ object Search {
       audit.foreach { case (dec, skip) => if (keep) dec.add(1) else skip.add(1) }
       keep
     }
+
+  /** Restrict-gated positional lookup — the J3 in-decode skip: only
+    * blocks whose [firstDoc,lastDoc] can hold a candidate decode their
+    * positions, merged into one primitive PosLookup run. The one
+    * positional verification pipeline, shared by phrase / NEAR /
+    * substring / substringNoCase (code-review r05: was copy-pasted 4×,
+    * and the no-case copy had silently dropped the audit hook). */
+  private def restrictedPosLookup[B](blocks: Iterator[B], cands: Array[Long],
+      range: B => (Long, Long), decode: B => (Array[Long], Array[Int]),
+      audit: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)]): Postings.PosLookup =
+    Postings.posLookupOf(
+      restrictBlocks[B](blocks, cands, range, audit).map(decode).toSeq)
 
   private def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuilder.make[Long]

@@ -192,6 +192,16 @@ object QueryParser {
           require(depthAt(ti) == 0,
             s"NEAR/$k is not supported inside (...) groups — proximity atoms " +
               "restrict the whole query; move the atom to the top level")
+          // \d+ matched, but user text can still overflow Int — fail like
+          // every other malformed input, not with a NumberFormatException
+          require(k.length <= 9, s"NEAR/$k: distance is out of range")
+          // tokenize() would silently strip a wildcard/fuzzy marker from
+          // an operand (`spark* NEAR/3 scala` degrading to the exact term
+          // 'spark') — reject instead, like atoms inside groups
+          Seq(toks(ti - 1), toks(ti + 1)).foreach { o =>
+            require(!(o.contains("*") || o.endsWith("~")),
+              s"wildcard/fuzzy atom '$o' is not supported as a NEAR operand")
+          }
           (Text.tokenize(toks(ti - 1)).toSeq, Text.tokenize(toks(ti + 1)).toSeq) match {
             case (Seq(a), Seq(b)) if a != b =>
               nears += ((a, b, k.toInt))
@@ -221,6 +231,13 @@ object QueryParser {
       if (t == "(") { depth += 1; ti += 1 }
       else if (t == ")") { depth = math.max(0, depth - 1); ti += 1 } // clamp: see depthAt
       else {
+        // `*foo*` would otherwise classify as the PREFIX query foo*
+        // (endsWith tested first, tokenize strips the leading star) and
+        // silently miss infix matches — reject with a pointer to the
+        // operator that does implement contains semantics
+        require(!(t.length > 2 && t.startsWith("*") && t.endsWith("*")),
+          s"infix wildcard '$t' is not supported — use a substring or " +
+            "regexp query for contains semantics")
         val isAtom = t.length > 1 &&
           (t.endsWith("*") || t.startsWith("*") || t.endsWith("~"))
         require(!(isAtom && depth > 0),
@@ -418,14 +435,11 @@ object QueryRunner {
         .select("docId", "url", "score")
         .orderBy(col("score").desc, col("docId").asc)
     }
-    val candidates = candidatesOf(spark, idx, p)
+    val exp = expansionsOf(spark, idx, p)
+    val candidates = candidatesOf(spark, idx, p, exp)
     // wildcard/fuzzy atoms score over their dictionary expansion: a doc
     // hit by `spark` AND one hit by `scan` both accumulate their matches
-    val scoring = (p.scoringTerms ++
-      p.prefixes.flatMap(pre => Search.expandPrefix(spark, idx, pre)) ++
-      p.suffixes.flatMap(suf => Search.expandSuffix(spark, idx, suf)) ++
-      p.fuzzies.flatMap(fz => Search.expandFuzzy(spark, idx, fz)))
-      .distinct.sorted
+    val scoring = (p.scoringTerms ++ exp.terms).distinct.sorted
     val scored = scoreDocs(spark, idx, scoring, Some(candidates))
     scored.join(idx.docmap.select("docId", "url"), "docId")
       .select("docId", "url", "score")
@@ -444,8 +458,13 @@ object QueryRunner {
   def groupedResultStats(spark: SparkSession, idx: BuiltIndex, q: String,
       groups: DataFrame): DataFrame = {
     val p = QueryParser.parse(q)
-    val cand = candidatesOf(spark, idx, p)
-    val scored = scoreDocs(spark, idx, p.scoringTerms, Some(cand))
+    val exp = expansionsOf(spark, idx, p)
+    val cand = candidatesOf(spark, idx, p, exp)
+    // the SAME scoring set as run(): wildcard/fuzzy expansions included,
+    // so `spark*` group stats rank by the same scores as its result list
+    // (pre-r05 this scored only the exact terms — a pure-wildcard query
+    // returned ZERO group rows; code-review r05)
+    val scored = scoreDocs(spark, idx, (p.scoringTerms ++ exp.terms).distinct.sorted, Some(cand))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("score").desc, col("docId").asc)
     val cw = org.apache.spark.sql.expressions.Window.partitionBy("grp")
@@ -460,10 +479,29 @@ object QueryRunner {
   /** Candidate docIds of a query BEFORE scoring — the posting-evaluation
     * stage on its own (the `posting_nano` half of dcs's replay cost split,
     * `cmd/dcs/replay.go:37-45`). */
-  def candidates(spark: SparkSession, idx: BuiltIndex, q: String): DataFrame =
-    candidatesOf(spark, idx, QueryParser.parse(q))
+  def candidates(spark: SparkSession, idx: BuiltIndex, q: String): DataFrame = {
+    val p = QueryParser.parse(q)
+    candidatesOf(spark, idx, p, expansionsOf(spark, idx, p))
+  }
 
-  private def candidatesOf(spark: SparkSession, idx: BuiltIndex, p: ParsedQuery): DataFrame = {
+  /** Per-atom dictionary expansions of a parsed query's wildcard/fuzzy
+    * atoms — computed ONCE and shared by candidate generation and BM25
+    * scoring. Pre-r05 each atom expanded twice (once for run()'s scoring
+    * list, again inside candidatesOf via prefixSearch/suffixSearch/
+    * fuzzySearch), doubling the bounded ~50 ms driver expansion jobs per
+    * atom (code-review r05). */
+  private final case class Expansions(atoms: Seq[Seq[String]]) {
+    def terms: Seq[String] = atoms.flatten
+  }
+
+  private def expansionsOf(spark: SparkSession, idx: BuiltIndex,
+      p: ParsedQuery): Expansions = Expansions(
+    p.prefixes.map(x => Search.expandPrefix(spark, idx, x)) ++
+      p.suffixes.map(x => Search.expandSuffix(spark, idx, x)) ++
+      p.fuzzies.map(x => Search.expandFuzzy(spark, idx, x)))
+
+  private def candidatesOf(spark: SparkSession, idx: BuiltIndex, p: ParsedQuery,
+      exp: Expansions): DataFrame = {
     var cand: DataFrame =
       if (p.bool.nonEmpty) Search.boolSearch(spark, idx, p.bool.get)
       else if (p.orTerms.nonEmpty) Search.searchOr(spark, idx, p.orTerms)
@@ -477,16 +515,12 @@ object QueryRunner {
       val m = Search.near(spark, idx, a, b, w)
       cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
     }
-    p.prefixes.foreach { pre =>
-      val m = Search.prefixSearch(spark, idx, pre)
-      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
-    }
-    p.suffixes.foreach { suf =>
-      val m = Search.suffixSearch(spark, idx, suf)
-      cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
-    }
-    p.fuzzies.foreach { fz =>
-      val m = Search.fuzzySearch(spark, idx, fz)
+    // each atom restricts to its (precomputed) expansion's posting OR —
+    // an atom that expanded to nothing matches no doc, like prefixSearch
+    exp.atoms.foreach { ts =>
+      val m =
+        if (ts.isEmpty) idx.docmap.select("docId").toDF().limit(0)
+        else Search.searchOr(spark, idx, ts)
       cand = if (cand == null) m else cand.join(m, Seq("docId"), "left_semi")
     }
     if (cand == null) cand = idx.docmap.select("docId").toDF()
@@ -495,8 +529,12 @@ object QueryRunner {
     if (p.lang.isEmpty && p.site.isEmpty && p.negLang.isEmpty && p.negSite.isEmpty &&
         p.path.isEmpty && p.negPath.isEmpty)
       return cand.select("docId")
+    // no trailing '/' in the pattern: a path-less url ("https://x.com")
+    // must still yield its host, or -site: fails to exclude it and site:
+    // false-negatives it (code-review r05); [^/]+ stops at the path either
+    // way, so path-ful urls extract identically
     val meta = idx.docmap.select(col("docId"), col("lang"), col("url"),
-      regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"))
+      regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"))
     var filtered = cand.join(meta, "docId")
     p.lang.foreach(l => filtered = filtered.filter(col("lang") === l))
     // site:/path: are REGEXP filters, like dcs's package:/path: keywords

@@ -317,4 +317,23 @@ class QueryParserSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](QueryParser.parse("x) (a NEAR/3 b)"))
     assert(e2.getMessage.contains("not supported inside"))
   }
+
+  test("malformed atoms are rejected, never silently demoted (r05)") {
+    // NEAR distance beyond Int range: a require, not NumberFormatException
+    val e1 = intercept[IllegalArgumentException](
+      QueryParser.parse("a NEAR/99999999999 b"))
+    assert(e1.getMessage.contains("out of range"))
+    // a wildcard NEAR operand would tokenize to its exact stem and
+    // silently drop the star — reject instead
+    val e2 = intercept[IllegalArgumentException](
+      QueryParser.parse("spark* NEAR/3 scala"))
+    assert(e2.getMessage.contains("NEAR operand"))
+    val e3 = intercept[IllegalArgumentException](
+      QueryParser.parse("a NEAR/2 b~"))
+    assert(e3.getMessage.contains("NEAR operand"))
+    // infix wildcard would classify as the PREFIX query (endsWith tested
+    // first) and silently miss contains matches
+    val e4 = intercept[IllegalArgumentException](QueryParser.parse("*ipsum*"))
+    assert(e4.getMessage.contains("infix wildcard"))
+  }
 }

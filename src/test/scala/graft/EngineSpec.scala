@@ -903,6 +903,31 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == brute)
   }
 
+  test("groupedResultStats scores wildcard expansions like run() (r05)") {
+    import graft.queries.QueryRunner
+    val groups = idx.docmap.select(col("docId"), col("lang").as("grp"))
+    // a pure-wildcard query has NO exact scoring terms — group stats must
+    // score over the dictionary expansion (pre-r05: zero rows)
+    val got = QueryRunner.groupedResultStats(spark, idx, "qmarker*", groups)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // parity with run(): the same query's global best doc appears as the
+    // best_docid of its own group, with the same score
+    val top = QueryRunner.run(spark, idx, "qmarker*", 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).head
+    val langOf = idx.docmap.collect().map(d => d.docId -> d.lang).toMap
+    val row = got.find(_._1 == langOf(top._1)).get
+    assert(row._3 == top._1 && row._4 == top._2)
+  }
+
+  test("raw term entry points case-fold like the index dictionary (r05)") {
+    val a = Search.topK(spark, idx, Seq("QmArKeR3"), 10).collect().toSeq
+    val b = Search.topK(spark, idx, Seq("qmarker3"), 10).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val c = Search.searchAnd(spark, idx, Seq("QMARKER3")).count()
+    assert(c == Search.searchAnd(spark, idx, Seq("qmarker3")).count() && c > 0)
+  }
+
   test("compression: encoded postings much smaller than raw 4-byte ids") {
     val (encoded, rawIds) = idx.postings.collect()
       .map(b => (b.docs.length.toLong + b.tfs.length, b.df * 8L))
