@@ -640,14 +640,17 @@ object SparkEntry {
       .mkString(",\n    ")
     val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val pick = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    // LEFT JOIN back to ids: a token-less doc has no tok rows but must
+    // still emit ('und', 0) — its s_l/m are NULL, every CASE arm is NULL,
+    // the ELSE catches it (same semantics as the per-row Spark form)
     s"""$P, scored AS (
        |  SELECT docid,
        |    $scoreCols
        |  FROM tok GROUP BY docid
        |), withm AS (SELECT *, $m AS m FROM scored)
-       |SELECT docid, CASE $pick ELSE 'und' END AS lang_pred,
-       |       CAST(m AS BIGINT) AS evidence
-       |FROM withm ORDER BY docid""".stripMargin
+       |SELECT i.docid, CASE $pick ELSE 'und' END AS lang_pred,
+       |       CAST(coalesce(m, 0) AS BIGINT) AS evidence
+       |FROM ids i LEFT JOIN withm w ON i.docid = w.docid ORDER BY i.docid""".stripMargin
   }
 
   /** Oracle SQL for the queries run against `sfDir` — q_ivf_trained's
@@ -1094,14 +1097,20 @@ object SparkEntry {
          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          |  md5(text) AS sha
          |FROM ids ORDER BY id""".stripMargin,
+    // ceil-division frame count (partial tail frame sampled too — see
+    // Multimodal.sampleFrames); sampled frames are all full except the
+    // LAST frame (index nf-1), which is short by 256·nf − nb bytes and is
+    // sampled iff (nf−1) % 4 = 0
     "q_frame_sample" ->
       s"""$P, vids AS (
          |  SELECT docid AS id, octet_length(encode(text)) AS nb FROM ids WHERE docid % 3 = 2
          |), calc AS (
-         |  SELECT id, nb, greatest(nb // 256, 1) AS nf FROM vids
+         |  SELECT id, nb, greatest((nb + 255) // 256, 1) AS nf FROM vids
          |)
          |SELECT id, CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
-         |  CAST(CASE WHEN nb < 256 THEN nb ELSE ((nf + 3) // 4) * 256 END AS BIGINT) AS bytes_sampled
+         |  CAST(((nf + 3) // 4) * 256 -
+         |    CASE WHEN (nf - 1) % 4 = 0 THEN 256 * nf - nb ELSE 0 END
+         |    AS BIGINT) AS bytes_sampled
          |FROM calc ORDER BY id""".stripMargin
   )
   // q_ivf_trained inlines the k-means-trained centroids, which exist

@@ -12,6 +12,16 @@ import java.nio.charset.StandardCharsets
   */
 object Text {
 
+  /** The canonical Column-level tokenizer — lowercased [a-z0-9]+ runs.
+    * ONE definition so shingles, simhash, fingerprints, language ID and
+    * quality scoring can never tokenize differently (code-review r05:
+    * three private copies of this expression had already appeared).
+    * Mirrors the JVM-side [[tokenize]]/[[countTokens]]. */
+  def tokensCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{filter, lit, lower, split}
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= lit(""))
+  }
+
   /** Tokens = maximal runs of [a-z0-9] over the lowercased text.
     * Equivalent to SQL `regexp_split_to_array(lower(text), '[^a-z0-9]+')`
     * minus empties — chosen so a DuckDB oracle can reproduce it exactly.
@@ -281,7 +291,13 @@ object Text {
 object VectorOps {
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // silently truncating to min(len) would compute a cosine over a
+    // prefix — a ragged/corrupted row could rank as a top-1 neighbor
+    // with no error (code-review r05); dimension mismatch is data
+    // corruption, surface it
+    require(n == b.numElements(),
+      s"graft_dot: dimension mismatch (${n} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -21,18 +21,24 @@ object IndexPublisher {
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
       version: String = null): String = {
     new java.io.File(root).mkdirs()
-    val ver = Option(version).getOrElse {
-      // next monotone version (resume-friendly: deterministic from content
-      // would also work; monotone integers mirror dcs's full.<unix-ts>)
-      val existing = Option(new java.io.File(root).list()).getOrElse(Array.empty)
-        .filter(n => n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
-        .map(_.drop(1).toLong)
-      "v" + (if (existing.isEmpty) 1L else existing.max + 1L)
-    }
+    val ver = Option(version).getOrElse(nextVersion(root))
     val dir = s"$root/$ver"
     IndexBuilder.buildPersistent(spark, docs, dir, cfg)
     swap(root, ver)
     dir
+  }
+
+  /** Next monotone version name (resume-friendly: deterministic from
+    * content would also work; monotone integers mirror dcs's
+    * full.<unix-ts>). The `n.length > 1` guard matters: an entry named
+    * exactly "v" has an empty digit tail that vacuously passes forall and
+    * then crashes toLong — IndexFeeder.mergeAndPublish carried an
+    * unguarded copy of this scan (code-review r05); one definition now. */
+  def nextVersion(root: String): String = {
+    val existing = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+    "v" + (if (existing.isEmpty) 1L else existing.max + 1L)
   }
 
   /** Atomically point CURRENT at a committed version. */

@@ -33,8 +33,7 @@ object Dedup {
             concat_ws(" ", slice(toksCol, i + 1, lit(n))))),
         s => s.isNotNull))
 
-  def tokensOf(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= lit(""))
+  def tokensOf(textCol: Column): Column = graft.functions.Text.tokensCol(textCol)
 
   /** Word n-gram shingles of a document (lowercased [a-z0-9] tokens). */
   def shingles(textCol: Column, n: Int): Column = shinglesOf(tokensOf(textCol), n)
@@ -174,9 +173,7 @@ object Dedup {
     * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs
-      .withColumn("__toks", tokensOf(col(textCol)))
-      .select(col(idCol).as("id"), explode(shinglesOf(col("__toks"), shingleN)).as("sh"))
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
       .cache() // used by both the sizes and the pair-intersection branch
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id1"), col("sh"))
@@ -242,7 +239,7 @@ object Dedup {
     * vote is the fingerprint bit. Near-dups = small Hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))).as("tok"))
+      explode(tokensOf(col(textCol))).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("w"))
       .withColumn("h", md5(col("tok")))
     // bit i of the token hash = bit (i%4) of hex nibble i/4

@@ -77,7 +77,11 @@ object Multimodal {
       everyK: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { row =>
-      val nFrames = math.max(1, row.payload.length / frameBytes)
+      // ceil division: the final PARTIAL frame is a frame too — floor
+      // silently never sampled the tail of any payload that wasn't an
+      // exact multiple of frameBytes, while a short payload DID emit its
+      // partial frame via the max(1,...) arm (code-review r05)
+      val nFrames = math.max(1, (row.payload.length + frameBytes - 1) / frameBytes)
       Iterator.range(0, nFrames, everyK).map { f =>
         val start = f * frameBytes
         val end = math.min(row.payload.length, start + frameBytes)

@@ -28,7 +28,8 @@ object Similarity {
     * Query side is small → broadcast; one pass over the corpus, top-k via
     * per-query window rank (TakeOrdered per group). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     // cast to double BEFORE multiplying: float*float would round to
     // float32 while the SQL oracle multiplies doubles. Norms are hoisted
@@ -38,7 +39,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qn", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("cid"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .withColumn("cosine",
         round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 5))
     val w = org.apache.spark.sql.expressions.Window
@@ -53,11 +54,18 @@ object Similarity {
     * first 8 hex digits → uniform [0,1) → component u−0.5. Computed once
     * on the driver and inlined as literals, so an SQL oracle can embed
     * the exact same constants. */
-  def hyperplanes(dim: Int, planes: Int): Array[Array[Double]] = {
+  def hyperplanes(dim: Int, planes: Int): Array[Array[Double]] =
+    saltedPlanes("", planes, dim)
+
+  /** md5("<salt><p>:<i>") → first 8 hex digits → uniform [0,1) → u−0.5.
+    * One definition for both plane families so the uniform-mapping
+    * arithmetic can never diverge between LSH buckets and IVF cells
+    * (code-review r05). */
+  private def saltedPlanes(salt: String, n: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(planes, dim) { (p, i) =>
+    Array.tabulate(n, dim) { (p, i) =>
       md.reset()
-      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+      val hex = md.digest(s"$salt$p:$i".getBytes("UTF-8"))
         .take(4).map(b => f"${b & 0xff}%02x").mkString
       java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
     }
@@ -80,15 +88,8 @@ object Similarity {
     * [[hyperplanes]] but salted separately. Data-independent so the SQL
     * oracle can inline them; production callers pass k-means centroids
     * from [[kmeansCentroids]] instead. */
-  def ivfAnchors(dim: Int, k: Int): Array[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(k, dim) { (p, i) =>
-      md.reset()
-      val hex = md.digest(s"ivf:$p:$i".getBytes("UTF-8"))
-        .take(4).map(b => f"${b & 0xff}%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
-    }
-  }
+  def ivfAnchors(dim: Int, k: Int): Array[Array[Double]] =
+    saltedPlanes("ivf:", k, dim)
 
   /** Deterministic Lloyd k-means (fixed iterations, evenly-spaced init
     * over the id-ordered sample) — the production IVF trainer. Runs
@@ -157,7 +158,8 @@ object Similarity {
     * (the oracle-tested default). Recall < 1 by construction. */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[Array[Double]], nprobe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cell", ivfCell(col("cvec"), cents))
@@ -167,7 +169,7 @@ object Similarity {
         cellRanking(col("qvec"), cents).getField("j"), 1, nprobe)))
       .withColumn("qn", norm(col("qvec")))
     val scored = c.join(broadcast(q), "cell")
-      .filter(col("qid") =!= col("cid"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .withColumn("cosine",
         round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 5))
     val w = org.apache.spark.sql.expressions.Window
@@ -183,7 +185,8 @@ object Similarity {
     * join — the 100 TB-scale path. Recall < 1 by construction; bump
     * `planes` down or add band rotations for higher recall. */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      planes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      planes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val hp = hyperplanes(dim, planes)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
@@ -193,7 +196,7 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qvec"), hp))
       .withColumn("qn", norm(col("qvec")))
     val scored = c.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("cid"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .withColumn("cosine",
         round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 5))
     val w = org.apache.spark.sql.expressions.Window

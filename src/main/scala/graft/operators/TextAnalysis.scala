@@ -18,17 +18,21 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por", "con"))
 
   private def toks(textCol: org.apache.spark.sql.Column) =
-    filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= lit(""))
+    graft.functions.Text.tokensCol(textCol)
 
   /** N-gram/stopword-heuristic language ID: score per language = number of
     * tokens that are stopwords of that language; argmax wins, ties broken
-    * by language code order, zero evidence → "und" (undetermined). */
+    * by language code order, zero evidence → "und" (undetermined).
+    * Pure per-row expressions — no explode/groupBy: the old shuffle
+    * version also silently DROPPED token-less docs (empty/punctuation-only
+    * text produced no exploded rows, so no output row at all, violating
+    * the "zero evidence → und" contract; code-review r05). One output row
+    * per input row, zero shuffles. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = docs.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+    val t = toks(col(textCol))
     val langs = stopwords.keys.toSeq.sorted
-    val scoreCols = langs.map(l =>
-      sum(when(col("tok").isin(stopwords(l): _*), 1).otherwise(0)).as(s"s_$l"))
-    val scored = t.groupBy(idCol).agg(scoreCols.head, scoreCols.tail: _*)
+    val scored = docs.select(col(idCol) +: langs.map(l =>
+      size(filter(t, x => x.isin(stopwords(l): _*))).cast("long").as(s"s_$l")): _*)
     // argmax with deterministic tiebreak: first language in sorted code
     // order reaching the max wins (build the WHEN chain in that order)
     val maxScore = greatest(langs.map(l => col(s"s_$l")): _*)

@@ -20,23 +20,30 @@ object Events {
     * batch input this is a plain two-key aggregation. Epoch-aligned
     * windows so a SQL oracle (`time_bucket`) reproduces the boundaries. */
   def windowedCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
-    events
-      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    aggWindows(project(events), width)
+
+  /** Streaming form: event-time watermark bounds state; late rows beyond
+    * the watermark are dropped, in-order feeds (as in the spec) match the
+    * batch result exactly. The aggregation runs DIRECTLY on the
+    * watermarked projection — re-projecting `cast(ts)` after
+    * withWatermark builds a fresh attribute whose metadata (the
+    * watermark tag) is dropped, silently unbounding state in update mode
+    * and refusing to start in append mode (code-review r05); the
+    * append-mode StreamingSpec test pins this. */
+  def streamingWindowedCounts(stream: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    aggWindows(project(stream).withWatermark("ts", watermark), width)
+
+  private def project(events: DataFrame): DataFrame =
+    events.select(col("ts").cast("timestamp").as("ts"),
+      col("event_type"), col("value"))
+
+  private def aggWindows(src: DataFrame, width: String): DataFrame =
+    src
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 5).as("total_value"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("total_value"))
-
-  /** Streaming form: event-time watermark bounds state; late rows beyond
-    * the watermark are dropped, in-order feeds (as in the spec) match the
-    * batch result exactly. */
-  def streamingWindowedCounts(stream: DataFrame, width: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
-    windowedCounts(
-      stream.select(col("ts").cast("timestamp").as("ts"),
-        col("event_type"), col("value"))
-        .withWatermark("ts", watermark),
-      width)
 
   /** Gap-based sessionization (batch): a user's events split into
     * sessions wherever the gap to the previous event exceeds `gapMin`

@@ -38,17 +38,20 @@ object IndexFeeder {
   }
 
   /** Committed batch directories. A batch counts as committed only when
-    * its FINAL build stages carry commit markers — meta.json alone is
-    * written during the first (docmap) stage, so gating on it would let a
-    * concurrent merge load a batch whose postings/termstats parquet don't
-    * exist yet (or a partial batch left by a mid-build crash). */
-  def batchDirs(root: String, withTrigrams: Boolean = true): Seq[String] =
+    * it carries the TERMINAL `_COMMITTED_build` marker — written after
+    * EVERY stage of the batch's own build config committed, so callers
+    * need no config knowledge (gating on per-stage markers required a
+    * `withTrigrams` parameter, and a mismatch between the feeder's and
+    * the merger's configs silently excluded committed batches forever;
+    * code-review r05). meta.json alone is written during the first
+    * (docmap) stage — gating on it would let a concurrent merge load a
+    * partial batch. */
+  def batchDirs(root: String): Seq[String] =
     Option(new java.io.File(s"$root/batches").listFiles()).getOrElse(Array.empty)
       .filter { f =>
         f.isDirectory &&
           new java.io.File(f, "meta.json").exists() &&
-          new java.io.File(f, "_COMMITTED_termstats").exists() &&
-          (!withTrigrams || new java.io.File(f, "_COMMITTED_trigrams").exists())
+          new java.io.File(f, "_COMMITTED_build").exists()
       }
       .sortBy(_.getName.drop(1).toLong)
       .map(_.getAbsolutePath).toSeq
@@ -58,13 +61,11 @@ object IndexFeeder {
     * version and atomically publish it. */
   def mergeAndPublish(spark: SparkSession, root: String,
       cfg: IndexBuilder.Config = IndexBuilder.Config()): Option[BuiltIndex] = {
-    val dirs = batchDirs(root, withTrigrams = cfg.buildTrigrams)
+    val dirs = batchDirs(root)
     if (dirs.isEmpty) return None
     val parts = dirs.map(d => IndexBuilder.load(spark, d))
     val merged = IndexMerger.merge(spark, parts, cfg)
-    val existing = Option(new java.io.File(root).list()).getOrElse(Array.empty)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)).map(_.drop(1).toLong)
-    val ver = "v" + (if (existing.isEmpty) 1L else existing.max + 1L)
+    val ver = IndexPublisher.nextVersion(root)
     persist(merged, s"$root/$ver")
     IndexPublisher.swap(root, ver)
     Some(merged)

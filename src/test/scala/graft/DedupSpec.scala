@@ -111,6 +111,36 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("languageId emits ('und', 0) for token-less docs — no dropped rows") {
+    val rows = Seq(
+      (1L, "the cat sat of it"), // en stopwords
+      (2L, "!!! ???"), // punctuation-only: zero tokens
+      (3L, ""), // empty text
+      (4L, "zzz qqq")) // tokens but zero stopword evidence
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.languageId(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "en", 3L), (2L, "und", 0L), (3L, "und", 0L), (4L, "und", 0L)))
+  }
+
+  test("sampleFrames samples the partial tail frame (ceil division)") {
+    import graft.operators.Multimodal
+    // 511 bytes = frame 0 (256 B, sampled) + frame 1 (255 B, not a
+    // multiple of everyK) ; 1100 bytes = 5 frames, samples 0 and 4 where
+    // frame 4 is the 76-byte tail
+    val meta = Multimodal.MediaMeta("video", 0, 0, 0, 0L)
+    val media = Seq(
+      Multimodal.MediaRow(1L, new Array[Byte](511), meta),
+      Multimodal.MediaRow(2L, new Array[Byte](1100), meta))
+    val ds = spark.createDataset(media)(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val got = Multimodal.sampleFrames(ds)
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("frame_bytes").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 256L), (2L, 2L, 332L)))
+  }
+
   test("newestVersion keeps exactly one latest row per key") {
     val rows = Seq(
       (1L, 100L, 10L), (1L, 200L, 11L), (1L, 200L, 12L), // tie on ts -> max tie col

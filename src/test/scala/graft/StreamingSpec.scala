@@ -59,6 +59,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed counts run in APPEND mode: watermark drives emission + late drop") {
+    // append mode REQUIRES the aggregation to see the watermark — if the
+    // plan re-projects cast(ts) after withWatermark, the attribute loses
+    // its watermark metadata and this query refuses to start
+    // (code-review r05); it also proves state finalizes and a row behind
+    // the watermark is dropped, not aggregated
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val t0 = 1704067200000L // window [t0, t0+1h)
+    def ev(id: Long, offMs: Long, v: Double) =
+      Ev(id, new java.sql.Timestamp(t0 + offMs), 1L, "view", v)
+    val mem = MemoryStream[Ev]
+    val out = graft.streaming.Events.streamingWindowedCounts(
+      mem.toDF(), width = "1 hour", watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("winappend")
+      .outputMode("append").start()
+    mem.addData(ev(0, 0L, 1.0), ev(1, 60000L, 2.0))
+    q.processAllAvailable()
+    // advance event time far past window end + watermark → finalize w0
+    mem.addData(ev(2, 3 * 3600000L, 4.0))
+    q.processAllAvailable()
+    // a straggler behind the watermark: must be DROPPED, not re-opened
+    mem.addData(ev(3, 120000L, 8.0))
+    q.processAllAvailable()
+    // one more advance so any (wrongly) re-opened window would emit
+    mem.addData(ev(4, 6 * 3600000L, 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("winappend").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    val w0 = 1704067200000000L
+    // w0 emitted exactly once, with only the two pre-watermark rows
+    assert(rows.count(_._1 == w0) == 1)
+    assert(rows.find(_._1 == w0).get == ((w0, 2L, 3.0)))
+  }
+
   test("mapGroupsWithState running totals == batch groupBy totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -122,18 +158,18 @@ class StreamingSpec extends AnyFunSuite {
     }
     query.stop()
 
-    assert(IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams).size >= 1)
+    assert(IndexFeeder.batchDirs(root).size >= 1)
     // a partially-built batch (meta.json only, no final stage markers)
     // must NOT count as committed
     val partial = new java.io.File(s"$root/batches/b999")
     partial.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/batches/b999/meta.json"), "{}")
-    assert(!IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams)
+    assert(!IndexFeeder.batchDirs(root)
       .exists(_.endsWith("b999")))
     org.apache.commons.io.FileUtils.deleteDirectory(partial)
     // the feeder's batches are shard-aligned -> concat fast path applies
-    val loadedParts = IndexFeeder.batchDirs(root, withTrigrams = cfg.buildTrigrams)
+    val loadedParts = IndexFeeder.batchDirs(root)
       .map(d => IndexBuilder.load(spark, d))
     assert(graft.index.IndexMerger.canConcat(loadedParts, cfg))
     val merged = IndexFeeder.mergeAndPublish(spark, root, cfg)
