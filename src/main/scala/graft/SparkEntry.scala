@@ -45,7 +45,11 @@ object SparkEntry {
     mergedCache.getOrElseUpdate(dir, {
       val c = corpus(s, dir).select("url", "text", "lang", "doc_id")
       val n = c.count()
-      val half = n / 2
+      // odd split point: docsPerShard is even, so an ODD first-part size
+      // can never be shard-aligned — n/2 alone made the !canConcat assert
+      // below a landmine for any corpus whose half-count was a multiple
+      // of docsPerShard (code-review r05)
+      val half = math.min((n / 2) | 1L, n - 1)
       val mcfg = cfg.copy(buildTrigrams = false)
       val parts = Seq(
         c.filter(col("doc_id") < half).drop("doc_id"),
@@ -85,11 +89,7 @@ object SparkEntry {
   // (code-review r04)
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     persistedDirs.values.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(d))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)); ()
     }))
   def persisted(s: SparkSession, dir: String): BuiltIndex =
     persistedCache.getOrElseUpdate(dir, {

@@ -419,7 +419,12 @@ object IndexBuilder {
       }
     }.cache()
 
-    val avgdl = docmap.agg(avg(col("dl"))).as[Double].head()
+    // an empty corpus would leave avg(dl) NULL and NPE on unboxing deep
+    // in the build with no actionable message (code-review r05)
+    val avgdl = Option(docmap.agg(avg(col("dl"))).head().get(0))
+      .map(_.asInstanceOf[Double])
+      .getOrElse(throw new IllegalArgumentException(
+        "IndexBuilder.build: input corpus is empty — nothing to index"))
 
     val docnorms: Dataset[DocNorms] = docmap
       .groupByKey(_.shard)
@@ -616,7 +621,10 @@ object IndexBuilder {
       cfg: Config): Dataset[EncodedBlock] = {
     import spark.implicits._
     clearLineage(cfg.lineageDir, "postings")
-    if (cfg.buildTrigrams) clearLineage(cfg.lineageDir, "trigrams")
+    // unconditionally: a crashed trigram-enabled attempt resumed with
+    // buildTrigrams=false must not leave phantom trigram sidecars for
+    // lineage() to report as a real stage (code-review r05)
+    clearLineage(cfg.lineageDir, "trigrams")
     val buildTri = cfg.buildTrigrams
     val batchChars = cfg.encodeBatchChars
     val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
@@ -695,8 +703,11 @@ object IndexBuilder {
     }
   }
 
-  /** Token posting blocks of a combined-layout index dir (kind=0 —
-    * directory-pruned: the trigram partition is never touched). */
+  /** Token posting blocks of a combined-layout index dir (kind=0).
+    * Pruning is parquet ROW-GROUP min/max stats on the kind column —
+    * each encode task emits all its token blocks then all its trigram
+    * blocks, so row groups stay kind-pure (there is no directory
+    * partition since the r05 plain write; see buildPersistent). */
   private def readPostingBlocks(spark: SparkSession, dir: String): Dataset[PostingBlock] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/blocks").filter(col("kind") === 0)
@@ -849,6 +860,10 @@ object IndexBuilder {
       val stats = spark.read.parquet(s"$dir/docs")
         .agg(count(lit(1)), avg("dl")).head()
       val nDocs = stats.getLong(0)
+      // fail with a named error, not an unboxing NPE on the NULL average
+      // of an empty corpus (code-review r05)
+      require(nDocs > 0,
+        s"IndexBuilder.buildPersistent($dir): input corpus is empty — nothing to index")
       val avgdl = stats.getDouble(1)
       val nShards = math.max(1, (nDocs + dps - 1) / dps).toInt
       writeMeta(s"$dir/meta.json",

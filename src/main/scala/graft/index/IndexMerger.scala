@@ -160,6 +160,13 @@ object IndexMerger {
       }.toDF("term", "shard", "doc", "pos")
     }.reduce(_ union _)
 
+    // cfg.lineageDir names the MERGE's own lineage dir (stage-labeled
+    // sidecars for this re-encode; ResumeSpec r04). It must be a fresh
+    // directory: encodeOccurrences clears and rewrites the stage
+    // subdirs, so pointing it at an EXISTING index's _lineage would
+    // replace that build's rows==documents sidecars with
+    // occurrence-counted merge rows (code-review r05 — buildPersistent
+    // always forces its own dir, so only a direct caller can misuse it).
     val postings = IndexBuilder.encodeOccurrences(spark, occs, dps, cfg)
 
     val termstats = postings

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, BinaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
 import graft.functions.Varint
@@ -11,24 +11,31 @@ import graft.functions.Varint
 /** Native Catalyst expressions for posting decompression, so decode can
   * run inside whole-stage codegen instead of a Dataset lambda (the
   * "custom Expression beats Scala UDF" rung of the extension ladder).
-  * Codegen emits a direct static call into the varint codec — no
-  * boxing, no serializer round-trip, null handling via nullSafeCodeGen.
+  * Codegen emits a direct static call into the varint codec; the decoded
+  * primitive arrays are wrapped via `UnsafeArrayData.fromPrimitiveArray`
+  * — one flat copy, NO per-element boxing (GenericArrayData would box
+  * every id/tf, exactly the garbage these expressions exist to avoid;
+  * code-review r05). All three expressions declare `inputTypes`
+  * (ImplicitCastInputTypes), so a wrong-typed SQL call fails at ANALYSIS
+  * time — or casts implicitly (e.g. array<float> → array<double> for
+  * graft_dot) — instead of reinterpreting bytes at runtime.
   */
 final case class DecodeDocIds(bytes: Expression, n: Expression, base: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def first: Expression = bytes
   override def second: Expression = n
   override def third: Expression = base
+  override def inputTypes = Seq(BinaryType, IntegerType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = bytes.nullable || n.nullable || base.nullable
 
   override protected def nullSafeEval(b: Any, nn: Any, bb: Any): Any =
-    new GenericArrayData(Varint.decodeDeltasLong(
+    UnsafeArrayData.fromPrimitiveArray(Varint.decodeDeltasLong(
       b.asInstanceOf[Array[Byte]], nn.asInstanceOf[Int], bb.asInstanceOf[Long]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, nn, bb) =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
         s"graft.functions.Varint.decodeDeltasLong($b, $nn, $bb))")
 
   override protected def withNewChildrenInternal(
@@ -37,18 +44,19 @@ final case class DecodeDocIds(bytes: Expression, n: Expression, base: Expression
 
 /** Decode a varint int array (term frequencies) as array<int>. */
 final case class DecodeTfs(bytes: Expression, n: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def left: Expression = bytes
   override def right: Expression = n
+  override def inputTypes = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override protected def nullSafeEval(b: Any, nn: Any): Any =
-    new GenericArrayData(Varint.decodeInts(
+    UnsafeArrayData.fromPrimitiveArray(Varint.decodeInts(
       b.asInstanceOf[Array[Byte]], nn.asInstanceOf[Int]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, nn) =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
         s"graft.functions.Varint.decodeInts($b, $nn))")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -62,7 +70,8 @@ final case class DecodeTfs(bytes: Expression, n: Expression)
   * the bottleneck). Left-fold order matches `aggregate(zip_with(...))`
   * bit-for-bit, so oracles are unaffected. */
 final case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -80,44 +89,52 @@ final case class ArrayDot(left: Expression, right: Expression)
 /** SparkSessionExtensions hook — the spark-submit deployment path:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` makes the
   * decode functions available in every session (including SQL), without
-  * any imperative registration call. */
+  * any imperative registration call. Builders validate arity up front so
+  * a malformed SQL call gets a named error, not an index exception. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+    exprs
+  }
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_decode_docids"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DecodeDocIds].getName, "graft_decode_docids"),
-      (exprs: Seq[Expression]) => DecodeDocIds(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => {
+        val a = arity("graft_decode_docids", 3)(exprs); DecodeDocIds(a(0), a(1), a(2))
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_decode_tfs"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DecodeTfs].getName, "graft_decode_tfs"),
-      (exprs: Seq[Expression]) => DecodeTfs(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val a = arity("graft_decode_tfs", 2)(exprs); DecodeTfs(a(0), a(1))
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ArrayDot].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val a = arity("graft_dot", 2)(exprs); ArrayDot(a(0), a(1))
+      }))
   }
 }
 
 object GraftFunctions {
-  @volatile private var registered = Set.empty[String]
 
-  /** Register graft_decode_docids / graft_decode_tfs in the session's
-    * function registry (idempotent per session). */
+  /** Register the decode functions in the session's own function
+    * registry. Unconditional `createOrReplaceTempFunction` — three map
+    * puts — instead of a JVM-global identity-hash cache: the old cache
+    * keyed on `System.identityHashCode(spark)`, which can collide across
+    * a long-lived JVM's sessions and is never evicted, silently skipping
+    * registration for an unlucky new session (code-review r05). */
   def register(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (!registered.contains(key)) synchronized {
-      if (!registered.contains(key)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_decode_docids", exprs => DecodeDocIds(exprs(0), exprs(1), exprs(2)), "built-in")
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_decode_tfs", exprs => DecodeTfs(exprs(0), exprs(1)), "built-in")
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
-        registered += key
-      }
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_decode_docids", exprs => DecodeDocIds(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_decode_tfs", exprs => DecodeTfs(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
   }
 }
