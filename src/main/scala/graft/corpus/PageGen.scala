@@ -39,7 +39,7 @@ object PageGen {
     out(0) = "the"; out(1) = "of"; out(2) = "and"
     var i = 3
     while (i < VocabSize) {
-      // base-20 expansion of i over syllables; 3-5 syllables
+      // base-20 expansion of i over syllables (1-4 syllables for i in [3, 9999])
       var v = i; val sb = new StringBuilder
       do { sb.append(syll(v % 20)); v /= 20 } while (v > 0)
       out(i) = sb.toString

@@ -41,6 +41,20 @@ object Regex {
     private var pos = 0
     private var foldCase = false
     private[Regex] var dotAllFlag = false
+    // inline (?i)/(?s) are accepted ONLY as a prefix of the whole
+    // pattern: mid-pattern flags have positional/group-scoped semantics
+    // in java.util.regex ((?s) is not retroactive; (?i) inside a group
+    // ends at the group), which a single global flag cannot express —
+    // applying them globally silently changed the match set
+    // (code-review r05). Out-of-prefix flags ParseError -> the
+    // java.util.regex fallback serves them with exact semantics.
+    private var flagPrefixEnd = 0
+    // a quantifier may not follow a bare quantifier: `a+?`/`a{2,3}?`
+    // (lazy), `a*+` (possessive) and `a**` all have different semantics
+    // in java.util.regex than the stacked-quantifier reading
+    // (Quest(Plus(a)) matches "", lazy a+? does not) — ParseError ->
+    // fallback. `(a*)+` stays legal: the group resets the flag.
+    private var lastWasQuant = false
 
     def parseTop(): Node = {
       val n = parseAlt()
@@ -76,26 +90,44 @@ object Regex {
         } else throw ParseError(s"quantifier with nothing to repeat at $pos")
       }
       while (pos < s.length && s.charAt(pos) != '|' && s.charAt(pos) != ')') {
+        val wasQuant = lastWasQuant
+        lastWasQuant = false
+        def quant(): Unit = {
+          if (wasQuant)
+            throw ParseError(s"quantifier after quantifier at $pos " +
+              "(lazy/possessive forms are outside the subset)")
+          lastWasQuant = true
+        }
         s.charAt(pos) match {
           case '(' =>
             flushLit()
             subs += parseGroup()
+            // the recursive parseCat inside the group may have left the
+            // flag set by its own trailing quantifier; a quantifier after
+            // ')' binds the whole group ((a*)+ is legal)
+            lastWasQuant = false
           case '[' =>
             flushLit()
             subs += parseClass()
+            lastWasQuant = false
           case '.' => flushLit(); subs += AnyChar; pos += 1
           case a @ ('^' | '$') => flushLit(); subs += Anchor(a); pos += 1
-          case '*' => val a = flushLastForRepeat(); subs += Star(a); pos += 1
-          case '+' => val a = flushLastForRepeat(); subs += Plus(a); pos += 1
-          case '?' => val a = flushLastForRepeat(); subs += Quest(a); pos += 1
+          case '*' => quant(); val a = flushLastForRepeat(); subs += Star(a); pos += 1
+          case '+' => quant(); val a = flushLastForRepeat(); subs += Plus(a); pos += 1
+          case '?' => quant(); val a = flushLastForRepeat(); subs += Quest(a); pos += 1
           case '{' =>
             val close = s.indexOf('}', pos)
-            if (close < 0) { lit.append('{'); pos += 1 }
+            if (close < 0)
+              // java.util.regex: "Unclosed counted closure" — literalizing
+              // '{' here would serve a pattern the oracle engine rejects
+              // (code-review r05)
+              throw ParseError(s"unclosed {{ at $pos")
             else {
               val body = s.substring(pos + 1, close)
               val m = "^(\\d+)(,(\\d*))?$".r.findFirstMatchIn(body)
               m match {
                 case Some(g) =>
+                  quant()
                   val a = flushLastForRepeat()
                   // RE2-style cap: huge bounds would overflow Int (raw
                   // NumberFormatException escaping every ParseError
@@ -118,7 +150,10 @@ object Regex {
                     throw ParseError(s"bad repetition range {$min,$max}")
                   subs += Rep(a, min, max)
                   pos = close + 1
-                case None => lit.append('{'); pos += 1
+                case None =>
+                  // java.util.regex: "Illegal repetition" for a{b}, a{,5},
+                  // a{} — same refusal here (code-review r05)
+                  throw ParseError(s"malformed repetition {{$body}}")
               }
             }
           case '\\' =>
@@ -198,10 +233,17 @@ object Regex {
     }
 
     private def parseGroup(): Node = {
+      val start = pos
       pos += 1 // consume '('
       if (s.startsWith("?:", pos)) pos += 2
-      else if (s.startsWith("?i)", pos)) { foldCase = true; pos += 3; return Empty }
-      else if (s.startsWith("?s)", pos)) { dotAllFlag = true; pos += 3; return Empty }
+      else if (s.startsWith("?i)", pos) || s.startsWith("?s)", pos)) {
+        if (start != flagPrefixEnd)
+          throw ParseError(s"inline flag at $start is not a pattern prefix " +
+            "(mid-pattern flags are outside the subset)")
+        if (s.charAt(pos + 1) == 'i') foldCase = true else dotAllFlag = true
+        pos += 3; flagPrefixEnd = pos
+        return Empty
+      }
       val n = parseAlt()
       if (pos >= s.length || s.charAt(pos) != ')') throw ParseError("missing )")
       pos += 1

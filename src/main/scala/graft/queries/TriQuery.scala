@@ -59,7 +59,12 @@ final case class TriQuery(
     if (r.op == op && qAtom)
       return r.copy(trigram = StringSets.union(r.trigram, q.trigram, isSuffix = false))
     if (qAtom && rAtom)
-      return TriQuery(op, q.trigram ++ r.trigram, Vector.empty)
+      // sorted union, not concat: StringSets.isSubsetOf's monotonic
+      // cursor (implies/trigramsImply) and the reference's cleaned
+      // Query.String() goldens both require the sorted invariant
+      // (code-review r05)
+      return TriQuery(op,
+        StringSets.union(q.trigram, r.trigram, isSuffix = false), Vector.empty)
     if (q.op == op) return q.copy(sub = q.sub :+ r)
     if (r.op == op) return r.copy(sub = r.sub :+ q)
 
@@ -125,9 +130,16 @@ final case class TriQuery(
     sb.toString
   }
 
+  // strconv.Quote-style escapes, so toString stays transcribable against
+  // the reference's Query.String() output even when a trigram carries a
+  // control character (code-review r05)
   private def quote(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case '\r' => "\\r"
+    case c if c < ' ' || c > '~' => f"\\x${c.toInt}%02x"
     case c => c.toString
   } + "\""
 

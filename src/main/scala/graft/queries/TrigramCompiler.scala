@@ -41,8 +41,12 @@ object TrigramCompiler {
       case R.NoMatch => return noMatch
       case R.Empty | R.Anchor(_) => return emptyString
       case R.Lit(s, fold) =>
+        // the empty literal matches the empty string regardless of fold:
+        // reporting canEmpty=false would make concat skip unioning the
+        // right side's prefix set — an over-narrow (non-conservative)
+        // candidate query for direct-AST callers (code-review r05)
+        if (s.isEmpty) return emptyString
         if (fold) {
-          if (s.isEmpty) return emptyString
           // case-folded literal = concatenation of per-char folded classes
           return s.foldLeft(emptyString) { (acc, c) =>
             concat(acc, analyze(foldedCharClass(c)))

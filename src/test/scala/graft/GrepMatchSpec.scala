@@ -223,6 +223,39 @@ class GrepMatchSpec extends AnyFunSuite {
     assert(Matcher.tryCompile("a{3,1000}").nonEmpty)
   }
 
+  test("lazy/possessive quantifiers and mid-pattern flags leave the subset (r05)") {
+    import graft.queries.{Matcher, RegexVerifier}
+    // stacked-quantifier reading of a+? (Quest(Plus)) matches "" where
+    // Java's LAZY a+? does not — the subset must decline, the fallback
+    // serves Java's semantics
+    for (pat <- Seq("a+?", "a*?", "a??", "a{2,3}?", "a*+", "a++", "a**"))
+      assert(Matcher.tryCompile(pat).isEmpty, s"/$pat/ must not take the NFA path")
+    val lazyPlus = new RegexVerifier(".+?")
+    assert(!lazyPlus.isLinear && !lazyPlus.find("") && lazyPlus.find("x"))
+    intercept[java.util.regex.PatternSyntaxException](new RegexVerifier("a**"))
+    // a quantified GROUP is not a stacked quantifier
+    assert(Matcher.tryCompile("(a*)+").nonEmpty)
+    assert(Matcher.tryCompile("[ab]*+c").isEmpty) // possessive after class
+    assert(Matcher.tryCompile("([ab]*)+c").nonEmpty)
+    // mid-pattern inline flags have positional/scoped semantics a global
+    // flag cannot express: (?s) is not retroactive, (?i) ends at its
+    // group — subset takes them only as a whole-pattern prefix
+    for (pat <- Seq("a.b(?s)", "(x(?i)y)z", "a(?s).b"))
+      assert(Matcher.tryCompile(pat).isEmpty, s"/$pat/ must not take the NFA path")
+    val retro = new RegexVerifier("a.b(?s)")
+    assert(!retro.isLinear && !retro.find("a\nb")) // Java: flag NOT retroactive
+    val scoped = new RegexVerifier("(x(?i)y)z")
+    assert(!scoped.isLinear && scoped.find("xYz") && !scoped.find("xYZ"))
+    // prefix flags stay on the linear path
+    assert(Matcher.tryCompile("(?i)(?s)a.b").nonEmpty)
+    // malformed brace bodies: Java throws Illegal repetition /
+    // Unclosed counted closure — the subset refuses identically instead
+    // of literalizing '{'
+    for (pat <- Seq("a{b}", "a{,5}", "a{2", "a{}"))
+      assert(Matcher.tryCompile(pat).isEmpty, s"/$pat/ must not take the NFA path")
+    intercept[java.util.regex.PatternSyntaxException](new RegexVerifier("a{b}"))
+  }
+
   test("escapes outside the engine subset are rejected, not literalized") {
     import graft.queries.{Matcher, RegexVerifier}
     // r04: \1 is a BACKREFERENCE, \p{..}/\v/\Q..\E/\uHHHH are
