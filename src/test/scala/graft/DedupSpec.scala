@@ -111,6 +111,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("cosineTopK excludeSelf=false keeps id-coincident pairs; graft_dot rejects ragged dims") {
+    import graft.operators.Similarity
+    val corpus = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))).toDF("vec_id", "embedding")
+    // a DISTINCT query table whose ids coincide with corpus ids: with
+    // excludeSelf (the drawn-from-corpus default) cid==qid pairs vanish;
+    // with excludeSelf=false the true nearest neighbour survives
+    val queries = spark.createDataFrame(Seq(
+      (0L, Array(0.0f, 1.0f)))).toDF("vec_id", "embedding") // nearest is cid 1... and cid 0 is orthogonal
+    val kept = Similarity.cosineTopK(corpus, queries, 2, excludeSelf = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(kept == Seq((1L, 1.0), (0L, 0.0)))
+    val excl = Similarity.cosineTopK(corpus, queries, 2)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(excl == Seq(1L)) // cid 0 dropped as "self" despite being a different vector
+    // dimension mismatch is data corruption — surfaced, not truncated
+    val ragged = spark.createDataFrame(Seq(
+      (7L, Array(1.0f, 0.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException](
+      Similarity.cosineTopK(corpus, ragged, 1, excludeSelf = false).collect())
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("languageId emits ('und', 0) for token-less docs — no dropped rows") {
     val rows = Seq(
       (1L, "the cat sat of it"), // en stopwords
