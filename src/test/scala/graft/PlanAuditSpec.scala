@@ -103,6 +103,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s == Seq(("a", 0, 1L), ("b", 1, 2L)))
   }
 
+  test("languageId plans zero exchanges (per-row expressions, r05)") {
+    // the pre-r05 explode+groupBy form shuffled every token; the per-row
+    // form must stay a pure map — a reintroduced Exchange is a 100 TB
+    // regression even if results stay correct
+    val docs = idx.docmap.toDF().selectExpr("docId as doc_id", "url as text")
+    val plan = graft.operators.TextAnalysis.languageId(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"languageId shuffles:\n$plan")
+  }
+
   test("docmap reads prune the text column") {
     val df = graft.queries.QueryRunner.run(spark, idx, "qmarker3 lang:de", 10)
     val plan = df.queryExecution.executedPlan.toString
