@@ -42,14 +42,30 @@ object Bench {
     // entry — never a sentinel that could read as "fast" in a regression
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "index_build" -> tBuild)
-    // the persisted (on-disk) build is SHARED by q_fuzzy_query, q_suggest,
-    // q_suffix_rev and q_lineage — timed here under its own label so those
-    // rows measure query latency, not whichever consumer ran first
-    // alphabetically (the r04→r05 q_fuzzy_query/q_lineage row swap)
-    results("index_build_persisted") = time { SparkEntry.persisted(spark, sfDir) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts to a subset (targeted scale runs)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // the persisted (on-disk) build is SHARED by q_fuzzy_query, q_suggest,
+    // q_suffix_rev and q_lineage — timed here under its own label (build
+    // AND load-side cache fill force-counted, like index_build above) so
+    // those rows measure pure query latency, not whichever consumer ran
+    // first alphabetically (the r04→r05 q_fuzzy_query/q_lineage row swap).
+    // Error-guarded like every row, and skipped when a targeted ONLY run
+    // includes none of its consumers.
+    val persistedConsumers =
+      Set("q_fuzzy_query", "q_suggest", "q_suffix_rev", "q_lineage")
+    if (only.forall(o => (o intersect persistedConsumers).nonEmpty))
+      results("index_build_persisted") = time {
+        try {
+          val p = SparkEntry.persisted(spark, sfDir)
+          p.postings.count(); p.trigrams.foreach(_.count())
+          p.docmap.count(); p.docnorms.count(); p.termstats.count()
+          p.revdict.foreach(_.count()); p.deldict.foreach(_.count())
+        } catch { case e: Throwable =>
+          errors("index_build_persisted") = e.getClass.getSimpleName
+          System.err.println(s"[bench] index_build_persisted FAILED: ${e.getMessage}")
+        }
+      }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -62,14 +78,21 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // escape interpolated strings (sfDir is user-controlled; a quote or
+    // backslash in the path must not break the one-line driver contract)
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case '\n' => "\\n"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => q(k) + f":$v%.3f" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.values.sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""errors":$errJson,"n_errors":${errors.size},""" +
-        f""""sf":"$sfDir","n_docs":$nDocs,"build_sec":$tBuild%.3f,""" +
+        f""""sf":${q(sfDir)},"n_docs":$nDocs,"build_sec":$tBuild%.3f,""" +
         f""""build_docs_per_sec":$docsPerSec%.1f}""")
     spark.stop()
   }

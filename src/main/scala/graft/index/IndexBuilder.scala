@@ -347,15 +347,6 @@ object IndexBuilder {
     * back to the dictionary scan. */
   val DelDictMaxDist = 2
 
-  /** Default for Config.encodeBatchChars — the combined encode pass's
-    * per-task text-buffer budget, in chars (~64 MB of UTF-16): the batch
-    * granularity at which the token loop hands over to the trigram loop.
-    * Large enough that the working-set switch amortizes to noise, small
-    * enough that buffered text never dominates task memory however large
-    * docsPerShard is. Batching never changes the output (identity spec in
-    * ResumeSpec). */
-  val EncodeBatchChars: Long = 32L << 20
-
   /** (key, term) deletion-variant rows of a term dictionary — shared by
     * the persisted delterms stage and IndexFeeder.persist (a published
     * merge re-derives it from the merged termstats, like revdict). */
@@ -371,8 +362,7 @@ object IndexBuilder {
       blockSize: Int = 256,
       buildTrigrams: Boolean = true,
       partitions: Int = 32,
-      lineageDir: Option[String] = None,
-      encodeBatchChars: Long = EncodeBatchChars)
+      lineageDir: Option[String] = None)
 
   /** Deterministic dense docId assignment: global rank in `url` order
     * (dcs assigns docids by arrival order within a shard, write.go:151-152;
@@ -626,7 +616,6 @@ object IndexBuilder {
     // lineage() to report as a real stage (code-review r05)
     clearLineage(cfg.lineageDir, "trigrams")
     val buildTri = cfg.buildTrigrams
-    val batchChars = cfg.encodeBatchChars
     val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
       .toDF("shard", "docId", "text")
       .repartition(cfg.partitions, col("shard"))
@@ -639,51 +628,41 @@ object IndexBuilder {
       val seen = new java.util.BitSet(1 << 24) // reused across docs in task
       val tokBlocks = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
       val triBlocks = scala.collection.mutable.ArrayBuffer.empty[TriBlock]
-      // docs buffered in BOUNDED batches (refs to the shuffle rows'
-      // strings — no copy), then the token loop runs over the whole batch
-      // FOLLOWED BY the trigram loop into the same per-shard indexers:
-      // interleaving the two PER DOC measured ~10-20% SLOWER than the
-      // separate stages (EncodeBench r05 — the two accumulators thrash
-      // each other's cache working set), while batch-granular phases
-      // amortize the working-set switch over EncodeBatchChars of streamed
-      // text. The batch cap (not whole-shard buffering) keeps peak task
-      // memory at accumulators + O(EncodeBatchChars) regardless of
-      // docsPerShard — a shard sized to the accumulator budget alone must
-      // not OOM on the text buffer (code-review r05). Indexers live for
-      // the shard, so the encoded output is byte-identical to unbatched.
+      // one shard's docs buffered (refs to the shuffle rows' strings — no
+      // copy), then the token loop runs over the whole shard FOLLOWED BY
+      // the trigram loop: interleaving the two per doc measured ~10-20%
+      // SLOWER than the separate stages (EncodeBench r05 — the two
+      // accumulators thrash each other's cache working set), while
+      // shard-granular SEQUENTIAL phases keep each loop's cache behavior
+      // identical to a dedicated stage and still shuffle the text once.
+      // Deliberately sequential, NOT a bounded-batch interleave of live
+      // tok+tri indexers: that shape holds BOTH accumulator families
+      // simultaneously and OOM'd real 4×4c executor runs at 6.4M docs
+      // ("GC overhead limit exceeded", BENCH/logs r05 appendix rounds)
+      // where this one survives — the per-task budget docsPerShard must
+      // cover is shard text + ONE family's accumulators + the task's
+      // emitted blocks, and that is the documented sizing contract.
       val bufLocal = new IntBuf(1024)
       val bufText = scala.collection.mutable.ArrayBuffer.empty[String]
-      var bufChars = 0L
-      var tok: ShardIndexer = null
-      var tri: TriShardIndexer = null
-      def drain(): Unit = if (bufText.nonEmpty) {
+      def flush(shard: Int): Unit = if (shard >= 0 && bufText.nonEmpty) {
+        val tok = new ShardIndexer(shard, dps, cfg.blockSize)
         var i = 0
         while (i < bufText.length) { tok.addDoc(bufLocal(i), bufText(i)); i += 1 }
+        tokBlocks ++= tok.finish(withPositions = true)
         if (buildTri) {
+          val tri = new TriShardIndexer(shard, dps, cfg.blockSize)
           i = 0
           while (i < bufText.length) { scanTrigrams(tri, bufLocal(i), bufText(i), seen); i += 1 }
+          triBlocks ++= tri.finish()
         }
         bufText.clear()
         bufLocal.len = 0
-        bufChars = 0L
-      }
-      def flush(shard: Int): Unit = if (shard >= 0) {
-        drain()
-        tokBlocks ++= tok.finish(withPositions = true)
-        if (buildTri) triBlocks ++= tri.finish()
-        tok = null; tri = null
       }
       it.foreach { case (shard, id, text) =>
         rows += 1
-        if (shard != curShard) {
-          flush(curShard); curShard = shard
-          tok = new ShardIndexer(shard, dps, cfg.blockSize)
-          if (buildTri) tri = new TriShardIndexer(shard, dps, cfg.blockSize)
-        }
+        if (shard != curShard) { flush(curShard); curShard = shard }
         bufLocal.add((id - shard.toLong * dps).toInt)
         bufText += text
-        bufChars += text.length
-        if (bufChars >= batchChars) drain()
       }
       flush(curShard)
       writeLineage(cfg.lineageDir, "postings", rows,

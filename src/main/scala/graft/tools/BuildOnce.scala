@@ -35,8 +35,13 @@ object BuildOnce {
     val spark = session(cores)
     val docs = spark.read.parquet(corpusDir)
     val nDocs = docs.count()
+    // shards per HIGH-level core, like ClusterBuild: the old hardcoded 2
+    // put the high level at shards ~= tasks — the balls-into-bins
+    // straggler regime that distorts the very scaling this tool measures
+    // (code-review r05; pre-r05 records used the equivalent of spc=2)
+    val spc = sys.env.getOrElse("SPARK_GRAFT_SHARDS_PER_CORE", "8").toInt
     val cfg = IndexBuilder.Config(
-      docsPerShard = math.max(1L, nDocs / (nHigh * 2L)),
+      docsPerShard = math.max(1L, nDocs / (nHigh.toLong * spc)),
       blockSize = 256,
       buildTrigrams = sys.env.get("SPARK_GRAFT_TRIGRAMS").contains("1"),
       partitions = cores * 2)
@@ -59,11 +64,14 @@ object BuildOnce {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
-  private def session(cores: Int): SparkSession = {
+  // shared with EncodeBench: ONE single-JVM measurement session
+  // definition, mirroring PseudoCluster's rationale — the build-side
+  // tools' environments cannot silently diverge (code-review r05)
+  private[tools] def session(cores: Int, app: String = "buildonce"): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cores]")
-      .appName(s"graft-buildonce-$cores")
+      .appName(s"graft-$app-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

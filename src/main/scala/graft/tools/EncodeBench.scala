@@ -24,18 +24,8 @@ object EncodeBench {
     val corpusDir = args(1)
     val rounds = args.lift(2).map(_.toInt).getOrElse(3)
     val tag = args.lift(3).getOrElse("run")
-    new java.io.File("/dev/shm/graft-spark").mkdirs()
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-encodebench-$cores")
-      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BuildOnce.session(cores, "encodebench")
     import spark.implicits._
-    spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(corpusDir)
     val nDocs = docs.count()

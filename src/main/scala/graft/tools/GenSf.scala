@@ -128,7 +128,10 @@ object GenSf extends Serializable {
       .select(col("vec_id"), col("embedding"), col("label").cast("int"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    // Instant, not Timestamp.valueOf: the latter reads the DRIVER's
+    // default timezone, so two hosts would generate different event
+    // times from identical args — breaking determinism (code-review r05)
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
     spark.range(0, nEvents, 1, 64).map { id =>
       val r = mix(id * 6700417L + 4L)
       val tsUs = t0 + (r.nextDouble() * 30.0 * 86400e6).toLong

@@ -44,11 +44,15 @@ object MergeBench {
       ps.foreach(force); ps
     }
     require(IndexMerger.canConcat(parts, cfg), "split not aligned")
-    val (tDirect, _) = time { force(IndexBuilder.build(spark, docs, cfg)) }
-    val (tConcat, _) = time { force(IndexMerger.merge(spark, parts, cfg)) }
+    // cache BEFORE force, like the parts above: an uncached index re-runs
+    // the whole encode once per count() in force() (postings AND the
+    // postings-derived termstats), overstating the rebuild/re-encode arms
+    // ~2x vs the concat arm that counts cached parts (code-review r05)
+    val (tDirect, _) = time { force(IndexBuilder.build(spark, docs, cfg).cache()) }
+    val (tConcat, _) = time { force(IndexMerger.merge(spark, parts, cfg).cache()) }
     // general path: misalign by lying about nDocs? instead rebuild via the
     // occurrence re-encode entry point directly
-    val (tGeneral, _) = time { force(IndexMerger.mergeGeneralForBench(spark, parts, cfg)) }
+    val (tGeneral, _) = time { force(IndexMerger.mergeGeneralForBench(spark, parts, cfg).cache()) }
     println(f"""{"n_docs":$n,"cores":$cores,"build_parts_sec":$tParts%.2f,""" +
       f""""direct_rebuild_sec":$tDirect%.2f,"concat_merge_sec":$tConcat%.2f,""" +
       f""""reencode_merge_sec":$tGeneral%.2f,""" +

@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Scaling probes: isolate CPU-only vs shuffle vs encode phases at a
   * given core count. runMain graft.tools.Probe <cores> <nDocs> <phase>
-  * phases: gen | tokenize | shuffle | encode
+  * Job phases: gen | tokenize | shuffle | encode.
+  * Platform controls (plain threads, no Spark job): regcpu (registers
+  * only — what the host CAN scale) | memcopy (DRAM stream) | jvmcpu
+  * (alloc-heavy generate+tokenize) — the control suite BENCH/BASELINE.md
+  * reports next to every scaling number.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -101,6 +105,9 @@ object Probe {
           spark, docText, math.max(1L, n / (cores * 4L)),
           graft.index.IndexBuilder.Config(partitions = cores * 4))
         println("blocks=" + blocks.count())
+      case other =>
+        spark.stop()
+        sys.error(s"unknown phase '$other' — see the scaladoc for the list")
     }
     println(f"[probe] cores=$cores n=$n phase=$phase sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     spark.stop()

@@ -64,6 +64,12 @@ object PseudoCluster {
       val pinDeadline = System.nanoTime() + 180e9.toLong
       while (!new java.io.File(pf).exists() && System.nanoTime() < pinDeadline)
         Thread.sleep(200)
+      // a silent fall-through would print an UNPINNED measurement in the
+      // normal result format — exactly the contamination the rendezvous
+      // exists to prevent. Mark it loudly so the harness/minima reader
+      // can disqualify the sample (code-review r05).
+      if (!new java.io.File(pf).exists())
+        println(s"[$logTag] WARN: UNPINNED RUN - pin marker $pf never appeared")
     }
     spark
   }

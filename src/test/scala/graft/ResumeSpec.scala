@@ -36,36 +36,6 @@ class ResumeSpec extends AnyFunSuite {
     assert(json.contains("\"rows\":") && json.contains("\"encodedBytes\":"))
   }
 
-  test("encode batching is output-invariant: per-doc drains == one-shot") {
-    // encodeBatchChars=1 forces a drain (token loop then trigram loop)
-    // after EVERY doc — the worst-case batching — and must produce blocks
-    // byte-identical to the default whole-shard-in-one-batch build, since
-    // the per-shard indexers live across drains (code-review r05)
-    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
-    val base = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
-    val d1 = tmpDir(); val d2 = tmpDir()
-    IndexBuilder.buildPersistent(spark, docs, d1, base)
-    IndexBuilder.buildPersistent(spark, docs, d2, base.copy(encodeBatchChars = 1L))
-    val i1 = IndexBuilder.load(spark, d1); val i2 = IndexBuilder.load(spark, d2)
-    def key(b: graft.index.PostingBlock) = (b.term, b.shard, b.blockId)
-    val p1 = i1.postings.collect().map(b => key(b) -> b).toMap
-    val p2 = i2.postings.collect().map(b => key(b) -> b).toMap
-    assert(p1.keySet == p2.keySet && p1.nonEmpty)
-    p1.foreach { case (k, b) =>
-      val c = p2(k)
-      assert(b.docs.sameElements(c.docs) && b.tfs.sameElements(c.tfs) &&
-        b.pos.sameElements(c.pos) && b.posrel.sameElements(c.posrel), s"block $k differs")
-    }
-    val t1 = i1.trigrams.get.collect().map(b => (b.tri, b.shard, b.blockId) -> b).toMap
-    val t2 = i2.trigrams.get.collect().map(b => (b.tri, b.shard, b.blockId) -> b).toMap
-    assert(t1.keySet == t2.keySet && t1.nonEmpty)
-    t1.foreach { case (k, b) =>
-      val c = t2(k)
-      assert(b.docs.sameElements(c.docs) && b.pos.sameElements(c.pos) &&
-        b.posrel.sameElements(c.posrel), s"tri block $k differs")
-    }
-  }
-
   test("resume completes a legacy-layout build interrupted before termstats") {
     // a pre-r05 build wrote separate postings/trigrams dirs (no combined
     // blocks/); one interrupted after its encode stages committed must
