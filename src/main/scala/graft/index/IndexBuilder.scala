@@ -347,12 +347,33 @@ object IndexBuilder {
     * back to the dictionary scan. */
   val DelDictMaxDist = 2
 
+  /** Longest dictionary term enumerated into the deldict. A term has
+    * O(len²) deletion variants of O(len) bytes each — one pathological
+    * long token (a 50k-char base64 blob survives tokenize) would
+    * otherwise materialize ~O(len³) bytes in a single delterms task and
+    * OOM the build (code-review r05). Correctness holds because the
+    * LOOKUP side ([[Search]]) uses the deldict only for queries of
+    * length ≤ [[DelDictMaxQueryLen]], and a query that short is within
+    * DelDictMaxDist edits only of terms of length
+    * ≤ DelDictMaxQueryLen + DelDictMaxDist ≤ this cap — capped-out terms
+    * are unreachable by any dictionary-served query. */
+  val DelDictMaxTermLen = 64
+
+  /** Longest query term served by the deldict point lookup; longer
+    * queries fall back to the length-banded scan (their own deletion
+    * neighborhood would otherwise become an unbounded `key IN (...)`
+    * literal list on the driver — code-review r05). Must stay
+    * ≤ DelDictMaxTermLen − DelDictMaxDist for the completeness argument
+    * above. */
+  val DelDictMaxQueryLen = 32
+
   /** (key, term) deletion-variant rows of a term dictionary — shared by
     * the persisted delterms stage and IndexFeeder.persist (a published
     * merge re-derives it from the merged termstats, like revdict). */
   def deldictOf(spark: SparkSession, terms: DataFrame): DataFrame = {
     import spark.implicits._
     terms.select("term").as[String]
+      .filter(t => t.length <= DelDictMaxTermLen)
       .flatMap(t => Text.deletionVariants(t, DelDictMaxDist).map(k => (k, t)))
       .toDF("key", "term")
   }

@@ -971,7 +971,9 @@ object Search {
     import spark.implicits._
     require(window >= 0, "window must be non-negative")
     val uniq = foldTerms(Seq(termA, termB)).distinct // index terms are folded
-    require(uniq.length == 2, "near() needs two distinct terms")
+    require(uniq.length == 2,
+      "near() needs two distinct terms (terms case-fold like the index " +
+        s"dictionary, so '$termA' and '$termB' are the same term)")
     val dps = idx.meta.docsPerShard
     idx.postings.filter(col("term").isin(uniq: _*))
       .groupByKey(_.shard)
@@ -1139,7 +1141,13 @@ object Search {
     * scan just to recover it (code-review r05). */
   private def fuzzyCandidates(idx: BuiltIndex, norm: String, maxDist: Int): DataFrame =
     idx.deldict match {
-      case Some(dd) if maxDist <= IndexBuilder.DelDictMaxDist =>
+      // the query-length guard is load-bearing twice over: a long term's
+      // own deletion neighborhood is O(len²) Literal children in the IN
+      // expression (driver blowup), and the dictionary side skips terms
+      // longer than DelDictMaxTermLen — which only queries longer than
+      // this cap could edit-reach (code-review r05)
+      case Some(dd) if maxDist <= IndexBuilder.DelDictMaxDist &&
+          norm.length <= IndexBuilder.DelDictMaxQueryLen =>
         val keys = graft.functions.Text.deletionVariants(norm, maxDist).toSeq
         dd.filter(col("key").isin(keys: _*)).select(col("term")).distinct()
           .join(idx.termstats.toDF().select(col("term"), col("df")), "term")

@@ -139,6 +139,7 @@ final case class TriQuery(
     case '\n' => "\\n"
     case '\t' => "\\t"
     case '\r' => "\\r"
+    case c if c > '\u00ff' => f"\\u${c.toInt}%04x" // \xHH is only 2 digits
     case c if c < ' ' || c > '~' => f"\\x${c.toInt}%02x"
     case c => c.toString
   } + "\""

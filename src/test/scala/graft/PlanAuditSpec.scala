@@ -82,6 +82,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = idx.deldict.get.filter(col("key").isin(keys: _*))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("In(key"), s"no deldict key pushdown visible:\n$plan")
+    // a query longer than DelDictMaxQueryLen takes the scan fallback —
+    // its own deletion neighborhood would be an O(len²)-literal IN
+    // expression on the driver (code-review r05)
+    val long = "q" * (IndexBuilder.DelDictMaxQueryLen + 1)
+    assert(Search.expandFuzzy(spark, idx, long, maxDist = 1).isEmpty)
   }
 
   test("deldict lookup finds short terms whose only common deletion is empty") {

@@ -32,19 +32,7 @@ if [ -z "${FROZEN:-}" ]; then
 fi
 . tools/jvm_opens.sh
 
-
-# only THIS harness's executor backends: the launcher tags executor JVMs
-# with -Dgraft.harness (via SPARK_GRAFT_EXEC_EXTRAOPTS ->
-# spark.executor.extraJavaOptions), so a concurrent unrelated Spark job's
-# executors are never killed, waited on, or pinned (ADVICE r04)
-graft_executors() {
-  local p
-  for p in $(pgrep -f "executor.CoarseGrainedExecutorBackend" 2>/dev/null); do
-    if tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null | grep -q "graft.harness"; then
-      echo "$p"
-    fi
-  done
-}
+. "$(dirname "$0")/pin_lib.sh"
 
 run() {
   local w=$1 c=$2 mem=$3 corpus=$4 nhigh=$5 tag=$6; shift 6

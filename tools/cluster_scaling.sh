@@ -30,19 +30,7 @@ ADDOPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.ne
   java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
   sun.security.action sun.util.calendar; do printf -- "--add-opens java.base/%s=ALL-UNNAMED " "$p"; done)
 
-
-# only THIS harness's executor backends: the launcher tags executor JVMs
-# with -Dgraft.harness (via SPARK_GRAFT_EXEC_EXTRAOPTS ->
-# spark.executor.extraJavaOptions), so a concurrent unrelated Spark job's
-# executors are never killed, waited on, or pinned (ADVICE r04)
-graft_executors() {
-  local p
-  for p in $(pgrep -f "executor.CoarseGrainedExecutorBackend" 2>/dev/null); do
-    if tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null | grep -q "graft.harness"; then
-      echo "$p"
-    fi
-  done
-}
+. "$(dirname "$0")/pin_lib.sh"
 
 # run <workers> <coresPerWorker> <memMB> <corpus> <nhigh> <tag> <coreSets...>
 run() {
