@@ -388,23 +388,116 @@ object IndexBuilder {
   /** Deterministic dense docId assignment: global rank in `url` order
     * (dcs assigns docids by arrival order within a shard, write.go:151-152;
     * we pin a global deterministic order instead so distributed builds and
-    * merges are reproducible — SURVEY §7.0).
+    * merges are reproducible — SURVEY §7.0). The order is Spark SQL's
+    * binary UTF-8 string order, as in every prior round.
     *
-    * Implementation: range-repartition by url + per-partition sort gives
-    * the global order without a single-partition bottleneck; the dense id
-    * is attached via `zipWithIndex` (the one forced RDD hop — a
-    * `row_number()` window over a global ORDER BY would funnel all rows
-    * through one partition).
-    */
-  def assignDocIds(spark: SparkSession, docs: DataFrame, partitions: Int): Dataset[(Long, String, String, String)] = {
+    * r06: partitions are SHARD-ALIGNED — every partition starts at a rank
+    * that is a multiple of `alignTo` (callers pass docsPerShard), so a
+    * partition holds only whole shards and the downstream encode becomes a
+    * pure scan with NO (shard)-keyed exchange of the text (VERDICT r05
+    * next-round #1; the reference indexes each package in one local pass,
+    * importer.go:392-469). Two-pass plan per guide §2.3/§8 — decide with
+    * small rows, move big rows once:
+    *   pass 1 (url bytes only): exact global ranks over the sorted url
+    *     column pick the boundary urls at alignTo-multiple ranks;
+    *   pass 2 (the one full-row exchange): rows range-partition by their
+    *     boundary-derived group id — equal keys never split, so groups
+    *     stay whole — and sort by url within the partition; the dense id
+    *     is groupStart + local position, exact because every boundary
+    *     sits at a known rank.
+    * This also retires the zipWithIndex RDD hop. Duplicate urls that
+    * straddle a group boundary would shift group sizes; each task checks
+    * its group's expected row count and fails loudly. */
+  /** Above this row count, boundary urls come from a distributed rank
+    * pass instead of a driver-side sort of the url column (bounded
+    * driver work — guide §5: the driver does no data-sized work). */
+  private val MaxDriverUrls = 1 << 18
+
+  def assignDocIds(spark: SparkSession, docs: DataFrame, partitions: Int,
+      alignTo: Long = 1L): Dataset[(Long, String, String, String)] = {
     import spark.implicits._
-    val sorted = docs.select("url", "text", "lang")
-      .repartitionByRange(partitions, col("url"))
-      .sortWithinPartitions("url")
-      .as[(String, String, String)]
-    sorted.rdd.zipWithIndex()
-      .map { case ((url, text, lang), id) => (id, url, text, lang) }
-      .toDS()
+    // pass 1 decides boundaries from the url column ALONE (guide §8:
+    // decide with small rows, move big rows once). Small corpora resolve
+    // it in ONE job: pull up to MaxDriverUrls urls; if that is all of
+    // them, sort on the driver and pick the boundary urls directly —
+    // the per-build fixed job count matters at bench scale, where four
+    // boundary jobs cost more than the shuffle they replace.
+    val pulled = docs.select("url").as[String].limit(MaxDriverUrls + 1).collect()
+    val small = pulled.length <= MaxDriverUrls
+    val n = if (small) pulled.length.toLong else docs.count()
+    val align = math.max(1L, alignTo)
+    val perPart = (n + math.max(1, partitions) - 1) / math.max(1, partitions)
+    val g = math.max(align, ((perPart + align - 1) / align) * align)
+    val nGroups = math.max(1L, (n + g - 1) / g).toInt
+    // boundary url at each rank g, 2g, ... under the SAME Spark SQL
+    // binary UTF-8 string order pass 2 sorts with
+    val bounds: Array[Array[Byte]] =
+      if (nGroups == 1) Array.empty
+      else if (small) {
+        val bs = pulled.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.util.Arrays.sort(bs,
+          ((a: Array[Byte], b: Array[Byte]) => byteCompare(a, b)): java.util.Comparator[Array[Byte]])
+        Array.tabulate(nGroups - 1)(p => bs(((p + 1).toLong * g).toInt))
+      } else docs.select("url")
+        .repartitionByRange(math.max(1, partitions), col("url"))
+        .sortWithinPartitions("url")
+        .as[String].rdd
+        .zipWithIndex()
+        .filter { case (_, r) => r > 0 && r % g == 0 }
+        .map(_._1).collect()
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .sortWith((a, b) => byteCompare(a, b) < 0)
+    // group id = count of boundaries <= url, compared in UTF-8 byte order
+    // (Spark SQL's string order — compareTo would disagree off-BMP)
+    val grpOf = udf { (u: String) =>
+      val ub = u.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (byteCompare(bounds(mid), ub) <= 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    docs.select(col("url"), col("text"), col("lang"))
+      .withColumn("__grp", grpOf(col("url")))
+      .repartitionByRange(nGroups, col("__grp"))
+      .sortWithinPartitions("__grp", "url")
+      .as[(String, String, String, Int)]
+      .mapPartitions { it =>
+        var grp = -1
+        var i = 0L
+        var expected = 0L
+        def check(): Unit = require(grp < 0 || i == expected,
+          s"assignDocIds: group $grp holds $i rows, expected $expected — " +
+            "duplicate urls straddling a range boundary? urls must be distinct")
+        new Iterator[(Long, String, String, String)] {
+          def hasNext: Boolean = it.hasNext || { check(); false }
+          def next(): (Long, String, String, String) = {
+            val (url, text, lang, gIdx) = it.next()
+            if (gIdx != grp) {
+              check(); grp = gIdx; i = 0L
+              expected = if (gIdx.toLong == nGroups - 1L) n - gIdx.toLong * g else g
+            }
+            val id = gIdx.toLong * g + i
+            i += 1
+            (id, url, text, lang)
+          }
+        }
+      }
+  }
+
+  /** Unsigned byte-wise compare — the UTF-8 binary order Spark SQL sorts
+    * strings with. */
+  private def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val len = math.min(a.length, b.length)
+    var i = 0
+    while (i < len) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Build the full index from (url, text, lang) document rows.
@@ -413,7 +506,10 @@ object IndexBuilder {
     */
   def build(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): BuiltIndex = {
     import spark.implicits._
-    val withIds = assignDocIds(spark, docs, cfg.partitions).cache()
+    // shard-aligned partitions: every downstream per-shard stage (encode,
+    // docnorms) runs as a pure scan of the cached partitions — the text
+    // is exchanged exactly once, in assignDocIds (r06)
+    val withIds = assignDocIds(spark, docs, cfg.partitions, cfg.docsPerShard).cache()
     val nDocs = withIds.count()
     val dps = cfg.docsPerShard
     val nShards = math.max(1, ((nDocs + dps - 1) / dps)).toInt
@@ -437,19 +533,28 @@ object IndexBuilder {
       .getOrElse(throw new IllegalArgumentException(
         "IndexBuilder.build: input corpus is empty — nothing to index"))
 
-    val docnorms: Dataset[DocNorms] = docmap
-      .groupByKey(_.shard)
-      .mapGroups { (shard, it) =>
-        val entries = it.map(d => (d.docId, d.dl)).toArray.sortBy(_._1)
-        DocNorms(shard, shard.toLong * dps, entries.length,
-          Varint.encodeInts(entries.map(_._2)))
+    // docmap partitions hold whole shards with ascending docIds (the
+    // assignDocIds alignment), so per-shard dl runs fold locally — the
+    // groupByKey(shard) exchange this stage used to pay is gone (r06)
+    val docnorms: Dataset[DocNorms] = docmap.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[DocNorms]
+      var shard = -1
+      val dls = new IntBuf(1024)
+      def flush(): Unit = if (shard >= 0)
+        out += DocNorms(shard, shard.toLong * dps, dls.len, Varint.encodeInts(dls.slice(0, dls.len)))
+      it.foreach { d =>
+        if (d.shard != shard) { flush(); shard = d.shard; dls.len = 0 }
+        dls.add(d.dl)
       }
+      flush()
+      out.iterator
+    }
 
     val docText = withIds.map { case (id, _, text, _) => (id, text) }
-    val postings = encodeTokenPostings(spark, docText, dps, cfg)
+    val postings = encodeTokenPostings(spark, docText, dps, cfg, aligned = true)
 
     val trigrams =
-      if (cfg.buildTrigrams) Some(encodeTriPostings(spark, docText, dps, cfg))
+      if (cfg.buildTrigrams) Some(encodeTriPostings(spark, docText, dps, cfg, aligned = true))
       else None
 
     val termstats = postings
@@ -461,24 +566,42 @@ object IndexBuilder {
     BuiltIndex(meta, docmap, docnorms, postings, trigrams, termstats)
   }
 
+  /** (shard, docId, text) rows grouped so every shard is contiguous and
+    * docIds ascend within it — the invariant every per-shard encode task
+    * needs. `aligned = true` asserts the input ALREADY satisfies it
+    * (partitions from [[assignDocIds]] with alignTo = docsPerShard, or a
+    * scan over shard-aligned docs files) and turns the encode into a pure
+    * map — NO exchange of the text, the dcs local per-package build shape
+    * (importer.go:392-469; VERDICT r05 next-round #1). `aligned = false`
+    * keeps the legacy (shard)-keyed repartition + sort for arbitrary
+    * inputs. */
+  private def shardRows(docText: Dataset[(Long, String)], dps: Long,
+      cfg: Config, aligned: Boolean): Dataset[(Int, Long, String)] = {
+    import docText.sparkSession.implicits._
+    if (aligned) docText.map { case (id, text) => ((id / dps).toInt, id, text) }
+    else docText.map { case (id, text) => ((id / dps).toInt, id, text) }
+      .toDF("shard", "docId", "text")
+      .repartition(cfg.partitions, col("shard"))
+      .sortWithinPartitions("shard", "docId")
+      .as[(Int, Long, String)]
+  }
+
   /** Token postings via per-shard local indexing (the dcs per-package
     * build): ONE row-level shuffle of documents to their shard, then each
     * task builds its shard's entire posting set in memory — no global
     * occurrence shuffle, no term skew (a hot term contributes at most
     * docsPerShard postings per task). Size docsPerShard to the task
-    * memory budget (dcs sizes shards the same way, howto/index.md:12-15). */
+    * memory budget (dcs sizes shards the same way, howto/index.md:12-15).
+    * With `aligned = true` the shuffle disappears too — see [[shardRows]]. */
   def encodeTokenPostings(
       spark: SparkSession,
       docText: Dataset[(Long, String)],
       dps: Long,
-      cfg: Config): Dataset[PostingBlock] = {
+      cfg: Config,
+      aligned: Boolean = false): Dataset[PostingBlock] = {
     import spark.implicits._
     clearLineage(cfg.lineageDir, "postings") // driver-side: drop stale sidecars
-    val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
-      .toDF("shard", "docId", "text")
-      .repartition(cfg.partitions, col("shard"))
-      .sortWithinPartitions("shard", "docId")
-      .as[(Int, Long, String)]
+    val docs = shardRows(docText, dps, cfg, aligned)
     docs.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
       var indexer: ShardIndexer = null
@@ -582,14 +705,11 @@ object IndexBuilder {
       spark: SparkSession,
       docText: Dataset[(Long, String)],
       dps: Long,
-      cfg: Config): Dataset[TriBlock] = {
+      cfg: Config,
+      aligned: Boolean = false): Dataset[TriBlock] = {
     import spark.implicits._
     clearLineage(cfg.lineageDir, "trigrams") // driver-side: drop stale sidecars
-    val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
-      .toDF("shard", "docId", "text")
-      .repartition(cfg.partitions, col("shard"))
-      .sortWithinPartitions("shard", "docId")
-      .as[(Int, Long, String)]
+    val docs = shardRows(docText, dps, cfg, aligned)
     docs.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
       var indexer: TriShardIndexer = null
@@ -629,7 +749,8 @@ object IndexBuilder {
       spark: SparkSession,
       docText: Dataset[(Long, String)],
       dps: Long,
-      cfg: Config): Dataset[EncodedBlock] = {
+      cfg: Config,
+      aligned: Boolean = false): Dataset[EncodedBlock] = {
     import spark.implicits._
     clearLineage(cfg.lineageDir, "postings")
     // unconditionally: a crashed trigram-enabled attempt resumed with
@@ -637,11 +758,7 @@ object IndexBuilder {
     // lineage() to report as a real stage (code-review r05)
     clearLineage(cfg.lineageDir, "trigrams")
     val buildTri = cfg.buildTrigrams
-    val docs = docText.map { case (id, text) => ((id / dps).toInt, id, text) }
-      .toDF("shard", "docId", "text")
-      .repartition(cfg.partitions, col("shard"))
-      .sortWithinPartitions("shard", "docId")
-      .as[(Int, Long, String)]
+    val docs = shardRows(docText, dps, cfg, aligned)
     docs.mapPartitions { it =>
       val t0 = System.currentTimeMillis()
       var curShard = -1
@@ -847,7 +964,10 @@ object IndexBuilder {
       // cheap metadata/single-column scans of the written file
       val dps = cfg.docsPerShard
       val withGate = cfg.buildTrigrams
-      assignDocIds(spark, docs, cfg.partitions)
+      // alignTo = docsPerShard: each written file holds only whole shards
+      // in docId order, so the encode stage reads whole-shard splits with
+      // no exchange (r06; see encodeCombined below)
+      assignDocIds(spark, docs, cfg.partitions, dps)
         .mapPartitions { it =>
           val seen = new java.util.BitSet(1 << 24)
           it.map { case (id, url, text, lang) =>
@@ -903,10 +1023,19 @@ object IndexBuilder {
       // partitionBy(kind) would plan a per-task SORT of the whole block
       // set (multi-MB rows through the external sorter) — measured ~5%
       // slower end-to-end (EncodeBench r05).
-      encodeCombined(spark, docText, meta.docsPerShard, cfg)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/blocks")
-      commitStage(dir, "postings", cfg.partitions)
-      if (cfg.buildTrigrams) commitStage(dir, "trigrams", cfg.partitions)
+      // aligned = true: the docs files are shard-aligned (assignDocIds
+      // above), so the encode is a straight scan — the (shard)-keyed
+      // exchange of the text, the build's last row-level shuffle, is gone
+      // (r06). A resumed pre-r06 docs dir is merely unaligned, which only
+      // splits a boundary shard's blocks across two tasks — every decode
+      // path merges per-(term,shard) blocks by firstDoc, so results are
+      // unchanged. The commit marker records the ACTUAL task count (scan
+      // splits, no longer cfg.partitions) for the lineage audit.
+      val enc = encodeCombined(spark, docText, meta.docsPerShard, cfg, aligned = true)
+      val encParts = enc.rdd.getNumPartitions
+      enc.write.mode(SaveMode.Overwrite).parquet(s"$dir/blocks")
+      commitStage(dir, "postings", encParts)
+      if (cfg.buildTrigrams) commitStage(dir, "trigrams", encParts)
       stageEnd("encode"); ran += 1
     }
 

@@ -850,7 +850,13 @@ object Search {
     }.toDF("term", "docId", "tf")
   }
 
-  /** Posting OR (J2): union with dedup. */
+  /** Posting OR (J2): union with dedup. Each term's blocks decode into
+    * one already-sorted primitive doc array (blocks sorted by firstDoc,
+    * docs ascending within a block), and the per-term arrays merge with
+    * the balanced [[unionMany]] — no boxed SortedSet on what is also the
+    * wildcard/fuzzy expansion hot path (up to 1024 expanded terms route
+    * through here via prefixSearch/suffixSearch/fuzzySearch; VERDICT
+    * r05 #2). Output order (ascending docId per shard) is unchanged. */
   def searchOr(spark: SparkSession, idx: BuiltIndex, queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
     val terms = foldTerms(queryTerms).distinct.sorted
@@ -858,9 +864,10 @@ object Search {
     idx.postings.filter(col("term").isin(terms: _*))
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
-        val seen = scala.collection.mutable.SortedSet.empty[Long]
-        it.foreach(b => Postings.decodeDocsTfs(b, dps)._1.foreach(seen += _))
-        seen.iterator
+        val lists = it.toArray.groupBy(_.term).valuesIterator
+          .map(bs => bs.sortBy(_.firstDoc).flatMap(b => Postings.decodeDocsTfs(b, dps)._1))
+          .toArray
+        unionMany(lists).iterator
       }
       .toDF("docId")
   }
@@ -894,7 +901,7 @@ object Search {
             if (parts.exists(_.isEmpty)) Array.empty[Long]
             else parts.sortBy(_.length).reduce(intersectSorted)
           case BQ.Or(subs) =>
-            subs.map(eval).foldLeft(Array.empty[Long])(unionSorted)
+            unionMany(subs.map(eval).toArray)
         }
         eval(q).iterator
       }
@@ -1498,7 +1505,7 @@ object Search {
             val parts = node.trigram.map(t => Some(lists.getOrElse(keyOf(t), Array.empty[Long]))) ++
               node.sub.map(eval)
             if (parts.exists(_.isEmpty)) None
-            else Some(parts.flatten.foldLeft(Array.empty[Long])(unionSorted))
+            else Some(unionMany(parts.flatten.toArray))
         }
         eval(q).map(_.iterator).getOrElse(Iterator.empty)
       }
@@ -1509,6 +1516,21 @@ object Search {
     // docs that failed the ingest gate have no trigram postings — include
     // them in verification so results match a full-corpus oracle
     Some(counted.toDF("docId").union(nonIndexableDocs(idx)).distinct())
+  }
+
+  /** Balanced pairwise union of k sorted arrays: O(total · log k) rather
+    * than the O(total · k) left-fold — matters for wide wildcard
+    * expansions (≤1024 lists through [[searchOr]]). */
+  private def unionMany(lists: Array[Array[Long]]): Array[Long] = {
+    var cur = lists.filter(_.nonEmpty)
+    while (cur.length > 1) {
+      val next = new Array[Array[Long]]((cur.length + 1) / 2)
+      var i = 0
+      while (i + 1 < cur.length) { next(i / 2) = unionSorted(cur(i), cur(i + 1)); i += 2 }
+      if (i < cur.length) next(i / 2) = cur(i)
+      cur = next
+    }
+    if (cur.isEmpty) Array.empty[Long] else cur(0)
   }
 
   private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -1549,29 +1571,44 @@ object Search {
     * `ctx` lines of before/after context and 1-based line numbers —
     * dcs's Match payload (`sourcebackendpb/sourcebackend.proto:26-44`).
     * One match per line (dcs caps identical-line matches the same way).
-    * Runs as a Catalyst pipeline: split → posexplode → linear-time match
-    * filter → window-free context via slice on the shared lines array. */
+    *
+    * Streams each document ONCE through a typed mapPartitions, like dcs's
+    * single-pass file grep (`regexp/match.go:421-561`): the previous
+    * Catalyst shape carried the full `lines` array through a posexplode,
+    * so a doc with L lines streamed O(L²) bytes through the Generate
+    * stage — a 10⁵-line candidate turned one grep into a multi-GB row
+    * stream (VERDICT r05 #3). Nothing is lost to codegen: the per-line
+    * match is the Pike-VM NFA either way (a UDF before, a closure now),
+    * and per matching line only the O(ctx) context slices materialize.
+    * The whole-document pre-filter survives as a cheap skip for docs
+    * with no match anywhere (disabled for edge-anchored patterns, where
+    * '$' can hold at a line end while failing on the whole text —
+    * code-review r04). */
   def grepContext(spark: SparkSession, docs: DataFrame, pattern: String,
       ctx: Int = 2): DataFrame = {
-    val find = regexFindUdf(pattern)
-    val lines = split(col("text"), "\n")
-    // the whole-document pre-filter is an optimization only — for an
-    // edge-anchored pattern 'bravo$' on "alpha\nbravo\nx" the document
-    // find fails while line 2 matches, so anchored patterns go straight
-    // to the per-line scan (code-review r04)
-    val pre = if (hasEdgeAnchors(pattern)) docs else docs.filter(find(col("text")))
-    pre
-      .select(col("docId"), lines.as("lines"))
-      .select(col("docId"), col("lines"), posexplode(col("lines")))
-      .filter(find(col("col")))
-      .select(
-        col("docId"),
-        (col("pos") + 1).as("line_no"),
-        col("col").as("line"),
-        slice(col("lines"), greatest(col("pos") - (ctx - 1), lit(1)),
-          least(col("pos"), lit(ctx))).as("before"),
-        slice(col("lines"), col("pos") + 2,
-          least(size(col("lines")) - col("pos") - 1, lit(ctx))).as("after"))
+    import spark.implicits._
+    val v = new graft.queries.RegexVerifier(pattern) // driver-compiled, serializable
+    val anchored = hasEdgeAnchors(pattern)
+    docs.select(col("docId").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null || (!anchored && !v.find(text))) Iterator.empty
+          else {
+            // limit -1 keeps trailing empty lines, matching Catalyst
+            // split()'s semantics (java's default limit 0 drops them)
+            val lines = text.split("\n", -1)
+            Iterator.range(0, lines.length).filter(i => v.find(lines(i))).map { i =>
+              (id, i + 1,
+                lines(i),
+                java.util.Arrays.copyOfRange(lines, math.max(0, i - ctx), i).toSeq,
+                java.util.Arrays.copyOfRange(lines, i + 1,
+                  math.min(lines.length, i + 1 + ctx)).toSeq)
+            }
+          }
+        }
+      }
+      .toDF("docId", "line_no", "line", "before", "after")
   }
 
   /** FiveLines snippet (X4, reference `internal/index/read.go:484-528`):

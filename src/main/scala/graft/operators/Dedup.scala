@@ -133,37 +133,44 @@ object Dedup {
     * computed once and reused by both stages. Candidates whose true
     * Jaccard < threshold are dropped (precision 1 given candidates;
     * recall bounded by the band collision probability). */
+  /** `materialize = false` skips the eager localCheckpoint (and the band
+    * cache/unpersist discipline tied to it) so the FULL pipeline plan is
+    * inspectable via explain — plan-audit/debug use only; production
+    * callers keep the default. */
   def lshJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    // the shingle table feeds the sizes aggregate AND both sides of the
-    // verification join; persist it once. DISK_ONLY, deliberately: at
-    // 100 TB the exploded shingle table is ~10× the corpus — caching it
-    // in memory would evict shuffle/execution pages, while recomputing
-    // it three times pays the tokenize+explode twice more. Local disk is
-    // the cheap middle. The small pair result is localCheckpoint'ed so
-    // both caches release before returning (no accumulation across calls
-    // in a long-lived session, ADVICE r02).
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // the signature stage is the row-wise map (no exploded-table groupBy
-    // shuffle — see minhashBands); the exploded table serves only the
-    // verification join + sizes, where per-shingle rows are unavoidable
-    val bandTable = minhashBands(docs, idCol, textCol, shingleN, numHashes, bands).cache()
-    val pairs = pairsOfBands(bandTable)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(sh.select(col("id").as("id1"), col("sh")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh")), Seq("id2", "sh"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    val result = inter
-      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
-      .withColumn("j_raw", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      threshold: Double = 0.5, materialize: Boolean = true): DataFrame = {
+    // Verification runs on per-doc DISTINCT shingle ARRAYS, not the
+    // exploded (id, shingle) table (r06): attaching the two arrays to
+    // each candidate pair and intersecting them natively
+    // (array_intersect — one hash-set probe per element, codegen'd)
+    // computes the same |A∩B| and |A|/|B| as the old
+    // explode → join-on-(id2,sh) → count pipeline, while shuffling the
+    // shingle payload ONCE (the arr table by id) instead of twice (the
+    // 10×-wider exploded table by id1 AND by (id2, sh)) and dropping the
+    // pair-count aggregation shuffle and the DISK_ONLY shingle persist
+    // entirely. The arr map stage is recomputed for each join side —
+    // tokenize+shingle is a pure map, cheaper than persisting ~10× the
+    // corpus. Semantics unchanged: shinglesOf is array_distinct'd, so
+    // |arr| equals the old per-id row count and the Jaccard is identical.
+    val arr = docs
+      .withColumn("__toks", tokensOf(col(textCol)))
+      .select(col(idCol).as("id"), shinglesOf(col("__toks"), shingleN).as("arr"))
+    // the signature stage stays the row-wise map (no exploded-table
+    // groupBy shuffle — see minhashBands)
+    val bandTable0 = minhashBands(docs, idCol, textCol, shingleN, numHashes, bands)
+    val bandTable = if (materialize) bandTable0.cache() else bandTable0
+    val pipeline = pairsOfBands(bandTable)
+      .join(arr.select(col("id").as("id1"), col("arr").as("arr1")), "id1")
+      .join(arr.select(col("id").as("id2"), col("arr").as("arr2")), "id2")
+      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
+      .withColumn("j_raw",
+        col("inter") / (size(col("arr1")) + size(col("arr2")) - col("inter")))
       .filter(col("j_raw") >= threshold)
       .select(col("id1"), col("id2"), round(col("j_raw"), 5).as("jaccard"))
-      .localCheckpoint(true)
-    sh.unpersist()
+    if (!materialize) return pipeline
+    val result = pipeline
+      .localCheckpoint(true) // release the band cache before returning
     bandTable.unpersist()
     result
   }

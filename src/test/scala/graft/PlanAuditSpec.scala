@@ -129,6 +129,56 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query plan reads the raw text column:\n$s"))
   }
 
+  test("persisted encode stage plans ZERO exchanges (shard-aligned scan, r06)") {
+    // the docs files are written shard-aligned (assignDocIds alignTo =
+    // docsPerShard), so the combined encode must read them as a pure
+    // scan — the (shard)-keyed repartition of the text (the build's only
+    // row-level shuffle, VERDICT r05 next-round #1) must not reappear
+    import spark.implicits._
+    val docText = spark.read.parquet(s"$dir/docs")
+      .select("docId", "text").as[(Long, String)]
+    val cfg = IndexBuilder.Config(docsPerShard = 128, blockSize = 32, partitions = 4)
+    val plan = IndexBuilder.encodeCombined(spark, docText, 128, cfg, aligned = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"aligned encode shuffles:\n$plan")
+  }
+
+  test("in-memory build: ONE exchange total — id assignment; encode adds none (r06)") {
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    val built = IndexBuilder.build(spark, docs, cfg)
+    // the only exchange anywhere in the build is assignDocIds's range
+    // partitioning; the legacy per-family `repartition(shard)` hash
+    // exchange of the text must not reappear
+    val plan = built.postings.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode re-shuffles the text:\n$plan")
+    // docnorms folds per-shard runs locally off the same aligned partitions
+    val normsPlan = built.docnorms.queryExecution.executedPlan.toString
+    assert(!normsPlan.contains("Exchange hashpartitioning"),
+      s"docnorms should add no exchange beyond id assignment:\n$normsPlan")
+  }
+
+  test("aligned encode emits exactly the legacy shuffled encode's blocks (r06)") {
+    import spark.implicits._
+    val docs = PageGen.pages(spark, 300, 4).toDF().select("url", "text", "lang")
+    val cfg = IndexBuilder.Config(docsPerShard = 64, blockSize = 16, partitions = 4)
+    val withIds = IndexBuilder.assignDocIds(spark, docs, cfg.partitions, cfg.docsPerShard)
+    val docText = withIds.map { case (id, _, text, _) => (id, text) }
+    def key(b: graft.index.PostingBlock) =
+      (b.term, b.shard, b.blockId, b.df, b.cf, b.maxTf, b.firstDoc, b.lastDoc,
+        b.docs.toSeq, b.tfs.toSeq, b.nPos, b.pos.toSeq, b.posrel.toSeq)
+    val aligned = IndexBuilder.encodeTokenPostings(spark, docText, 64, cfg, aligned = true)
+      .collect().map(key).toSet
+    val legacy = IndexBuilder.encodeTokenPostings(spark, docText, 64, cfg, aligned = false)
+      .collect().map(key).toSet
+    assert(aligned == legacy)
+    // ids themselves: dense rank in url order, every shard whole per task
+    val ids = withIds.map(t => (t._1, t._2)).collect().sortBy(_._1)
+    assert(ids.map(_._1).toSeq == (0L until 300L))
+    assert(ids.map(_._2).toSeq == ids.map(_._2).sorted.toSeq)
+  }
+
   test("whole-stage codegen covers the scoring pipeline (final AQE plan)") {
     val df = Search.bruteForceTopK(spark,
       idx.docmap.toDF().selectExpr("docId", "url as text"), Seq("a"), 5)
