@@ -33,9 +33,17 @@ object SparkEntry {
   def cfg: IndexBuilder.Config =
     IndexBuilder.Config(docsPerShard = 128, blockSize = 64, partitions = 8)
 
+  /** [[cfg]] with build parallelism derived from the SESSION's core count
+    * instead of the constant 8 (guide §2: scale-dependent settings are
+    * parameterised, not tuned to one machine). Only `partitions` varies —
+    * docsPerShard/blockSize shape the query RESULTS (q_docmap's shard
+    * column, block layout) and stay fixed. */
+  def cfgFor(s: SparkSession): IndexBuilder.Config =
+    cfg.copy(partitions = math.max(cfg.partitions, s.sparkContext.defaultParallelism))
+
   def index(s: SparkSession, dir: String): BuiltIndex =
     idxCache.getOrElseUpdate(dir,
-      IndexBuilder.build(s, corpus(s, dir).select("url", "text", "lang"), cfg).cache())
+      IndexBuilder.build(s, corpus(s, dir).select("url", "text", "lang"), cfgFor(s)).cache())
 
   /** Two sub-indexes over contiguous halves of the url order, merged —
     * exercises the general (re-encode) ConcatN merge (J7) on the oracle
@@ -50,7 +58,7 @@ object SparkEntry {
       // below a landmine for any corpus whose half-count was a multiple
       // of docsPerShard (code-review r05)
       val half = math.min((n / 2) | 1L, n - 1)
-      val mcfg = cfg.copy(buildTrigrams = false)
+      val mcfg = cfgFor(s).copy(buildTrigrams = false)
       val parts = Seq(
         c.filter(col("doc_id") < half).drop("doc_id"),
         c.filter(col("doc_id") >= half).drop("doc_id"))
@@ -66,7 +74,7 @@ object SparkEntry {
   def mergedConcat(s: SparkSession, dir: String): BuiltIndex =
     concatCache.getOrElseUpdate(dir, {
       val c = corpus(s, dir).select("url", "text", "lang", "doc_id")
-      val mcfg = cfg.copy(buildTrigrams = false)
+      val mcfg = cfgFor(s).copy(buildTrigrams = false)
       val parts = Seq(
         c.filter(col("doc_id") < 256).drop("doc_id"),
         c.filter(col("doc_id") >= 256).drop("doc_id"))
@@ -94,7 +102,7 @@ object SparkEntry {
   def persisted(s: SparkSession, dir: String): BuiltIndex =
     persistedCache.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft-persist").toString
-      IndexBuilder.buildPersistent(s, corpus(s, dir).select("url", "text", "lang"), out, cfg)
+      IndexBuilder.buildPersistent(s, corpus(s, dir).select("url", "text", "lang"), out, cfgFor(s))
       persistedDirs(dir) = out
       IndexBuilder.load(s, out).cache()
     })

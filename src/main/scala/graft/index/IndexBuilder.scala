@@ -1054,31 +1054,51 @@ object IndexBuilder {
       commitStage(dir, "termstats"); stageEnd("termstats"); ran += 1
     }
 
-    if (!stageDone(dir, "delterms")) {
-      // deletion-neighborhood dictionary, globally sorted by key: fuzzy
-      // lookup / spell suggestion become O(|query variants|) point lookups
-      // with parquet min/max pruning instead of an O(vocabulary) scan —
-      // the same persisted-sorted-dictionary trick as revterms below.
-      // O(|vocab| · len²) rows at DelDictMaxDist=2 — the documented
-      // SymSpell space-for-time trade (still O(dictionary), never O(corpus)).
-      deldictOf(spark, spark.read.parquet(s"$dir/termstats").select("term"))
-        .repartitionByRange(8, col("key"))
-        .sortWithinPartitions("key")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/delterms")
-      commitStage(dir, "delterms"); stageEnd("delterms"); ran += 1
-    }
-
-    if (!stageDone(dir, "revterms")) {
-      // reversed-term dictionary, globally sorted by rev: suffix wildcards
-      // become a rev-prefix range with parquet min/max pruning (the same
-      // sorted-directory trick the forward term column gets for free).
-      // Tiny table (|vocab| rows), so 8 range partitions suffice.
-      spark.read.parquet(s"$dir/termstats")
-        .select(reverse(col("term")).as("rev"), col("term"))
-        .repartitionByRange(8, col("rev"))
-        .sortWithinPartitions("rev")
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
-      commitStage(dir, "revterms"); stageEnd("revterms"); ran += 1
+    // the two dictionary stages both derive from the COMMITTED termstats
+    // and are independent of each other — submit them as concurrent jobs
+    // (guide §2.6: actions are only sequential because driver code calls
+    // them sequentially; each stage's tail of small tasks back-fills the
+    // other's idle cores). Commit markers stay per-stage, so a crash
+    // mid-pair resumes exactly the missing one.
+    val needDel = !stageDone(dir, "delterms")
+    val needRev = !stageDone(dir, "revterms")
+    if (needDel || needRev) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDel = Future {
+        if (needDel) {
+          // deletion-neighborhood dictionary, globally sorted by key:
+          // fuzzy lookup / spell suggestion become O(|query variants|)
+          // point lookups with parquet min/max pruning instead of an
+          // O(vocabulary) scan — the same persisted-sorted-dictionary
+          // trick as revterms. O(|vocab| · len²) rows at DelDictMaxDist=2
+          // — the documented SymSpell space-for-time trade (still
+          // O(dictionary), never O(corpus)).
+          deldictOf(spark, spark.read.parquet(s"$dir/termstats").select("term"))
+            .repartitionByRange(8, col("key"))
+            .sortWithinPartitions("key")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/delterms")
+          commitStage(dir, "delterms")
+        }
+      }
+      val fRev = Future {
+        if (needRev) {
+          // reversed-term dictionary, globally sorted by rev: suffix
+          // wildcards become a rev-prefix range with parquet min/max
+          // pruning. Tiny table (|vocab| rows), so 8 range partitions
+          // suffice.
+          spark.read.parquet(s"$dir/termstats")
+            .select(reverse(col("term")).as("rev"), col("term"))
+            .repartitionByRange(8, col("rev"))
+            .sortWithinPartitions("rev")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/revterms")
+          commitStage(dir, "revterms")
+        }
+      }
+      Await.result(fDel, scala.concurrent.duration.Duration.Inf)
+      Await.result(fRev, scala.concurrent.duration.Duration.Inf)
+      if (needDel) { stageEnd("delterms"); ran += 1 }
+      if (needRev) { stageEnd("revterms"); ran += 1 }
     }
 
     // terminal marker: EVERY configured stage (including the optional

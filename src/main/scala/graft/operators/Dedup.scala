@@ -24,7 +24,12 @@ object Dedup {
     * Taking the tokens as a column (not recomputing split() inside the
     * lambda) matters: Catalyst inlines lambda-captured expressions, so a
     * `size(split(...))` inside `transform` re-splits the text once per
-    * array element — O(n²) work per document. */
+    * array element — O(n²) work per document.
+    *
+    * REFERENCE form, kept as the spec oracle for the native expression:
+    * hot paths call [[nativeShingles]] instead — HOF lambdas evaluate
+    * interpreted per element, and this chain alone measured ~9 s of the
+    * sf0.1 q_lsh_jaccard (r06; ShingleExprSpec pins the identity). */
   def shinglesOf(toksCol: Column, n: Int): Column =
     array_distinct(
       filter(
@@ -32,6 +37,12 @@ object Dedup {
           when(i <= size(toksCol) - n,
             concat_ws(" ", slice(toksCol, i + 1, lit(n))))),
         s => s.isNotNull))
+
+  /** [[shinglesOf]] as ONE codegen'd row-level loop (`graft_shingles`,
+    * [[graft.plans.WordShingles]]) — identical output. Callers must have
+    * run `GraftFunctions.register` on the session. */
+  def nativeShingles(toksCol: Column, n: Int): Column =
+    call_function("graft_shingles", toksCol, lit(n))
 
   def tokensOf(textCol: Column): Column = graft.functions.Text.tokensCol(textCol)
 
@@ -46,10 +57,12 @@ object Dedup {
   /** Exploded (id, shingle) table — shared by the minhash and the
     * verification stages so a composed pipeline shingles exactly once. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame =
+      shingleN: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("__toks", tokensOf(col(textCol)))
-      .select(col(idCol).as("id"), explode(shinglesOf(col("__toks"), shingleN)).as("sh"))
+      .select(col(idCol).as("id"), explode(nativeShingles(col("__toks"), shingleN)).as("sh"))
+  }
 
   /** Banded rows from a per-doc signature table with columns id, h0..hN. */
   private def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -74,25 +87,37 @@ object Dedup {
     * groupBy semantics. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     // explode(array(..)) is a MATERIALIZATION BARRIER, not a fan-out: a
     // Generate is the one operator CollapseProject will not inline
-    // expressions across. Without it the 16 hash projections below each
-    // inline the whole shingle computation (and the token split inlines
-    // into the shingle lambda's size() — O(len²) per element), so
-    // shingling runs 16× per row; with it `__sh` is a materialized
-    // attribute and each transform() just walks the array. (Measured:
-    // 8.7 s → 0.2 s on the sf0.1 bench. HOF lambdas are interpreted and
-    // excluded from codegen subexpression elimination, so the barrier is
-    // the only way to share them.)
+    // expressions across. Without it the size() filter below and the
+    // minhash would each inline (and so re-run) the whole shingle
+    // computation; with it `__sh` is a materialized attribute computed
+    // once per row.
     val withSh = docs
       .withColumn("__toks", tokensOf(col(textCol)))
       .select(col(idCol).as("id"),
-        explode(array(shinglesOf(col("__toks"), shingleN))).as("__sh"))
+        explode(array(nativeShingles(col("__toks"), shingleN))).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val hashes = (0 until numHashes).map(i =>
-      array_min(transform(col("__sh"), sh =>
-        md5(concat(lit(s"seed$i:"), sh)))).as(s"h$i"))
-    bandRows(withSh.select(col("id") +: hashes: _*), numHashes, bands)
+    // all k MinHash values in ONE pass over the shingle array
+    // (graft_minhash) instead of k interpreted array_min(transform(md5))
+    // trees per row — element i is bit-identical to
+    // array_min(transform(__sh, x => md5(concat('seed<i>:', x)))) (r06;
+    // ShingleExprSpec pins the identity)
+    // NO barrier around the minhash call, deliberately: CollapseProject
+    // inlines `__h` into the k getItem projections, but graft_minhash is
+    // a deterministic codegen expression, so whole-stage codegen's
+    // subexpression elimination evaluates it ONCE per row (unlike the
+    // interpreted HOF chains, which are excluded from codegen CSE and
+    // needed the explode(array(..)) barrier above). Keeping it inline
+    // also keeps the hash computation PRUNABLE: a consumer that never
+    // reads the signatures (e.g. a bare count) skips the md5 work
+    // entirely, which a Generate barrier would forbid.
+    val withH = withSh.select(col("id"),
+      call_function("graft_minhash", col("__sh"), lit(numHashes)).as("__h"))
+    val sig = withH.select(col("id") +:
+      (0 until numHashes).map(i => col("__h").getItem(i).as(s"h$i")): _*)
+    bandRows(sig, numHashes, bands)
   }
 
   private def pairsOfBands(b: DataFrame): DataFrame = {
@@ -153,9 +178,10 @@ object Dedup {
     // tokenize+shingle is a pure map, cheaper than persisting ~10× the
     // corpus. Semantics unchanged: shinglesOf is array_distinct'd, so
     // |arr| equals the old per-id row count and the Jaccard is identical.
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val arr = docs
       .withColumn("__toks", tokensOf(col(textCol)))
-      .select(col(idCol).as("id"), shinglesOf(col("__toks"), shingleN).as("arr"))
+      .select(col(idCol).as("id"), nativeShingles(col("__toks"), shingleN).as("arr"))
     // the signature stage stays the row-wise map (no exploded-table
     // groupBy shuffle — see minhashBands)
     val bandTable0 = minhashBands(docs, idCol, textCol, shingleN, numHashes, bands)
@@ -177,7 +203,15 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
     * stage after LSH, or standalone for small N): explode shingles,
-    * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). */
+    * self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Deliberately KEPT in the exploded + groupBy-count form (shingling
+    * itself runs through the native graft_shingles kernel): in the
+    * all-pairs regime the per-pair work here is Σ|shared shingles| —
+    * an r06 attempt to reuse lshJaccard's per-pair array_intersect
+    * verification instead paid O(|A|+|B|) for EVERY candidate pair and
+    * measured 2.8 → 8.6 s on the sf0.1 bench (most candidate pairs share
+    * only a few shingles); reverted. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, shingleN)

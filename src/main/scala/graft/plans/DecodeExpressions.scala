@@ -86,6 +86,55 @@ final case class ArrayDot(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Distinct word n-gram shingles of a token array as ONE row-level loop —
+  * replaces the interpreted HOF chain
+  * `array_distinct(filter(transform(toks, … slice+concat_ws …)))`, whose
+  * per-element interpreted dispatch dominated the dedup family (r06
+  * noop-isolated: ~9 s of sf0.1 q_lsh_jaccard in the shingle transform
+  * alone). Identical output incl. first-occurrence order
+  * (ShingleExprSpec). */
+final case class WordShingles(tokens: Expression, n: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = tokens
+  override def right: Expression = n
+  override def inputTypes = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any, nn: Any): Any =
+    graft.functions.Shingles.shingleArray(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nn.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, nn) => s"graft.functions.Shingles.shingleArray($t, $nn)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** k MinHash values of a shingle array in ONE pass: element i equals
+  * `array_min(transform(sh, x => md5(concat('seed<i>:', x))))` —
+  * lowercase-hex md5, binary min, nulls skipped, null on empty — but
+  * computed with a reused MessageDigest and no per-element interpreted
+  * lambda or intermediate hash array (16 such HOF trees per row was the
+  * second hot spot of the dedup family, r06). */
+final case class MinHashes(shingles: Expression, k: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = shingles
+  override def right: Expression = k
+  override def inputTypes = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override protected def nullSafeEval(s: Any, kk: Any): Any =
+    graft.functions.Shingles.minhashArray(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, kk) => s"graft.functions.Shingles.minhashArray($s, $kk)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** SparkSessionExtensions hook — the spark-submit deployment path:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` makes the
   * decode functions available in every session (including SQL), without
@@ -118,6 +167,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         val a = arity("graft_dot", 2)(exprs); ArrayDot(a(0), a(1))
       }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("graft_shingles", 2)(exprs); WordShingles(a(0), a(1))
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashes].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => {
+        val a = arity("graft_minhash", 2)(exprs); MinHashes(a(0), a(1))
+      }))
   }
 }
 
@@ -136,5 +199,9 @@ object GraftFunctions {
       "graft_decode_tfs", exprs => DecodeTfs(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashes(exprs(0), exprs(1)), "built-in")
   }
 }

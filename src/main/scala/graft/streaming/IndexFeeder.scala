@@ -80,12 +80,30 @@ object IndexFeeder {
     * and `meta.textInDocs=false` records the contract: supply your own
     * (docId, text) table for verification-stage queries. */
   def persist(idx: BuiltIndex, dir: String): Unit = {
+    val spark = idx.termstats.sparkSession
+    import spark.implicits._
     new java.io.File(dir).mkdirs()
     idx.docmap.toDF()
       .select("docId", "url", "lang", "shard", "dl", "indexable")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
     idx.docnorms.write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
-    idx.postings.write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    // COMBINED blocks layout (r06, VERDICT r05 next-round #5): published
+    // indexes use the same one-dir `blocks` layout fresh persistent
+    // builds write, so load()'s legacy separate postings/trigrams branch
+    // can eventually retire. Token partitions precede trigram partitions
+    // in the union, and each write task holds one source partition, so
+    // row groups stay kind-pure and the kind filter prunes on parquet
+    // min/max stats — exactly the encodeCombined contract.
+    val tokBlocks = idx.postings.map(b => graft.index.EncodedBlock(0, b.term, -1,
+      b.shard, b.blockId, b.df, b.cf, b.maxTf, b.firstDoc, b.lastDoc,
+      b.docs, b.tfs, b.nPos, b.pos, b.posrel))
+    val allBlocks = idx.trigrams match {
+      case Some(tri) => tokBlocks.union(tri.map(b => graft.index.EncodedBlock(1, null,
+        b.tri, b.shard, b.blockId, b.df, 0L, 0, b.firstDoc, b.lastDoc,
+        b.docs, Array.emptyByteArray, b.nPos, b.pos, b.posrel)))
+      case None => tokBlocks
+    }
+    allBlocks.write.mode(SaveMode.Overwrite).parquet(s"$dir/blocks")
     idx.termstats.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
     IndexBuilder.writeMeta(s"$dir/meta.json", idx.meta.copy(textInDocs = false))
     Seq("docmap", "docnorms", "postings", "termstats").foreach { st =>
@@ -93,8 +111,7 @@ object IndexFeeder {
         java.nio.file.Paths.get(s"$dir/_COMMITTED_$st"),
         System.currentTimeMillis().toString)
     }
-    idx.trigrams.foreach { tri =>
-      tri.write.mode(SaveMode.Overwrite).parquet(s"$dir/trigrams")
+    idx.trigrams.foreach { _ =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/_COMMITTED_trigrams"),
         System.currentTimeMillis().toString)

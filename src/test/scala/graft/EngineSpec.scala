@@ -557,6 +557,24 @@ class EngineSpec extends AnyFunSuite {
     assert(after.toSeq == lines.slice(expectIdx + 1, expectIdx + 3).toSeq)
   }
 
+  test("grepContext streams a 100k-line doc with no Generate lines-carry (r06)") {
+    // VERDICT r05 #3: the posexplode shape carried the FULL lines array
+    // per exploded row — O(L²) bytes for an L-line doc. The mapPartitions
+    // form must (a) plan no Generate at all and (b) chew a 100k-line
+    // candidate without materializing multi-GB rows.
+    import spark.implicits._
+    val lines = (1 to 100000).map(i =>
+      if (i % 9999 == 0) s"needleomega match $i" else s"filler line $i")
+    val df = Seq((1L, lines.mkString("\n"))).toDF("docId", "text")
+    val res = Search.grepContext(spark, df, "needleomega", ctx = 2)
+    assert(!res.queryExecution.executedPlan.toString.contains("Generate"))
+    val rows = res.collect()
+    assert(rows.length == 10) // multiples of 9999 up to 99990
+    assert(rows.forall(r => r.getSeq[String](3).length == 2 &&
+      r.getSeq[String](4).length == 2))
+    assert(rows.map(_.getInt(1)).toSeq == (1 to 10).map(_ * 9999))
+  }
+
   test("substringNoCase non-ASCII fallback is guarded above maxScanDocs (dcs reject)") {
     val docsWithIds = docs.join(idx.docmap.select("docId", "url"), "url")
       .select("docId", "text")

@@ -191,6 +191,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(published.revdict.isDefined)
     val viaRev = Search.expandSuffix(spark, published, "marker5")
     assert(viaRev == Seq("qmarker5"))
+
+    // r06: publish writes the COMBINED blocks layout (one dir, kind
+    // column) — the same layout fresh persistent builds use; the legacy
+    // separate postings/trigrams dirs are gone from published versions
+    val verDir = s"$root/${IndexPublisher.currentVersion(root).get}"
+    assert(new java.io.File(s"$verDir/blocks").exists())
+    assert(!new java.io.File(s"$verDir/postings").exists())
+    assert(!new java.io.File(s"$verDir/trigrams").exists())
   }
 
   test("published index enforces the docs-text contract (r05)") {
