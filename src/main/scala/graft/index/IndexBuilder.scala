@@ -52,17 +52,31 @@ final case class BuiltIndex(
     scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
 
   /** Stats for `terms` (absent terms omitted); one bounded collect() for
-    * the not-yet-memoized subset, no job when everything is cached. */
+    * the not-yet-memoized subset, no job when everything is cached.
+    * The memo is size-capped (ADVICE r05): a long-lived driver serving
+    * unique/misspelled terms must not grow it without bound — past the
+    * cap, lookups still work but stop inserting (repeat queries of
+    * capped-out terms re-run the bounded collect). */
   def stats(terms: Seq[String]): Map[String, TermStats] = {
     val missing = terms.filterNot(statsMemo.contains)
     if (missing.nonEmpty) {
       val fetched = termstats
         .filter(org.apache.spark.sql.functions.col("term").isin(missing: _*))
         .collect().map(t => t.term -> t).toMap
-      missing.foreach(t => statsMemo.putIfAbsent(t, fetched.get(t)))
+      if (statsMemo.size < BuiltIndex.StatsMemoMax)
+        missing.foreach(t => statsMemo.putIfAbsent(t, fetched.get(t)))
+      return terms.iterator.flatMap { t =>
+        statsMemo.get(t).getOrElse(fetched.get(t)).map(t -> _)
+      }.toMap
     }
     terms.iterator.flatMap(t => statsMemo(t).map(t -> _)).toMap
   }
+}
+
+object BuiltIndex {
+  /** Cap on the driver-side per-term stats memo (ADVICE r05: unbounded
+    * growth under adversarial/high-churn unique-term query streams). */
+  val StatsMemoMax: Int = 1 << 16
 }
 
 /** Growable primitive int buffer (no boxing). */
@@ -378,6 +392,12 @@ object IndexBuilder {
       .toDF("key", "term")
   }
 
+  /** Build configuration. SIZING CONTRACT for `docsPerShard` (ADVICE
+    * r05): the combined encode buffers ONE shard's raw text per task and
+    * then runs one accumulator family at a time, so the per-task memory
+    * budget must cover shard text bytes + the larger of the token/trigram
+    * accumulator sets + the task's emitted blocks — size docsPerShard to
+    * that, not to accumulators alone (the pre-r05 contract). */
   final case class Config(
       docsPerShard: Long = 1L << 14,
       blockSize: Int = 256,
