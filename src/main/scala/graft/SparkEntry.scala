@@ -45,6 +45,19 @@ object SparkEntry {
     idxCache.getOrElseUpdate(dir,
       IndexBuilder.build(s, corpus(s, dir).select("url", "text", "lang"), cfgFor(s)).cache())
 
+  /** Build independent sub-indexes CONCURRENTLY (guide §2.6): each
+    * build()'s eager jobs (boundary collect, cache-fill count, avgdl)
+    * otherwise serialize on the driver while most cores idle. Results
+    * are deterministic — the builds share nothing but the read-only
+    * corpus. */
+  private def buildParts(s: SparkSession, dfs: Seq[DataFrame],
+      mcfg: IndexBuilder.Config): Seq[BuiltIndex] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    dfs.map(df => Future(IndexBuilder.build(s, df, mcfg)))
+      .map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** Two sub-indexes over contiguous halves of the url order, merged —
     * exercises the general (re-encode) ConcatN merge (J7) on the oracle
     * corpus: the split point is NOT shard-aligned, so the fast path must
@@ -59,10 +72,9 @@ object SparkEntry {
       // of docsPerShard (code-review r05)
       val half = math.min((n / 2) | 1L, n - 1)
       val mcfg = cfgFor(s).copy(buildTrigrams = false)
-      val parts = Seq(
+      val parts = buildParts(s, Seq(
         c.filter(col("doc_id") < half).drop("doc_id"),
-        c.filter(col("doc_id") >= half).drop("doc_id"))
-        .map(df => IndexBuilder.build(s, df, mcfg))
+        c.filter(col("doc_id") >= half).drop("doc_id")), mcfg)
       assert(!IndexMerger.canConcat(parts, mcfg))
       IndexMerger.merge(s, parts, mcfg).cache()
     })
@@ -75,10 +87,9 @@ object SparkEntry {
     concatCache.getOrElseUpdate(dir, {
       val c = corpus(s, dir).select("url", "text", "lang", "doc_id")
       val mcfg = cfgFor(s).copy(buildTrigrams = false)
-      val parts = Seq(
+      val parts = buildParts(s, Seq(
         c.filter(col("doc_id") < 256).drop("doc_id"),
-        c.filter(col("doc_id") >= 256).drop("doc_id"))
-        .map(df => IndexBuilder.build(s, df, mcfg))
+        c.filter(col("doc_id") >= 256).drop("doc_id")), mcfg)
       assert(IndexMerger.canConcat(parts, mcfg), "expected the concat fast path")
       IndexMerger.merge(s, parts, mcfg).cache()
     })

@@ -1018,45 +1018,63 @@ object IndexBuilder {
       .select("docId", "text")
       .as[(Long, String)]
 
-    if (!stageDone(dir, "docnorms")) {
-      spark.read.parquet(s"$dir/docs").select("docId", "shard", "dl")
-        .as[(Long, Int, Int)]
-        .groupByKey(_._2)
-        .mapGroups { (shard, it) =>
-          val entries = it.map(d => (d._1, d._3)).toArray.sortBy(_._1)
-          DocNorms(shard, shard.toLong * meta.docsPerShard, entries.length,
-            Varint.encodeInts(entries.map(_._2)))
+    // docnorms and the encode both read only the committed docs files
+    // and are independent of each other — submit them concurrently
+    // (guide §2.6, same pattern as the dictionary stages below): the
+    // tiny docnorms job back-fills cores the encode's task tail leaves
+    // idle. Markers stay per-stage for crash/resume.
+    val needNorms = !stageDone(dir, "docnorms")
+    val needEnc = !stageDone(dir, "postings") ||
+      (cfg.buildTrigrams && !stageDone(dir, "trigrams"))
+    if (needNorms || needEnc) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fNorms = Future {
+        if (needNorms) {
+          spark.read.parquet(s"$dir/docs").select("docId", "shard", "dl")
+            .as[(Long, Int, Int)]
+            .groupByKey(_._2)
+            .mapGroups { (shard, it) =>
+              val entries = it.map(d => (d._1, d._3)).toArray.sortBy(_._1)
+              DocNorms(shard, shard.toLong * meta.docsPerShard, entries.length,
+                Varint.encodeInts(entries.map(_._2)))
+            }
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
+          commitStage(dir, "docnorms")
         }
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/docnorms")
-      commitStage(dir, "docnorms"); stageEnd("docnorms"); ran += 1
-    }
-
-    // token + trigram sections in ONE pass over the text (the dominant
-    // DRAM stream of the build — see encodeCombined). Both families land
-    // in $dir/blocks partitioned by kind; the two legacy commit markers
-    // stay so resume/publish gating and batchDirs() are unchanged.
-    if (!stageDone(dir, "postings") ||
-        (cfg.buildTrigrams && !stageDone(dir, "trigrams"))) {
-      // plain write, kind as a normal column: each task emits all its
-      // token blocks then all its trigram blocks, so row groups stay
-      // kind-pure and the kind filter prunes on parquet min/max stats.
-      // partitionBy(kind) would plan a per-task SORT of the whole block
-      // set (multi-MB rows through the external sorter) — measured ~5%
-      // slower end-to-end (EncodeBench r05).
-      // aligned = true: the docs files are shard-aligned (assignDocIds
-      // above), so the encode is a straight scan — the (shard)-keyed
-      // exchange of the text, the build's last row-level shuffle, is gone
-      // (r06). A resumed pre-r06 docs dir is merely unaligned, which only
-      // splits a boundary shard's blocks across two tasks — every decode
-      // path merges per-(term,shard) blocks by firstDoc, so results are
-      // unchanged. The commit marker records the ACTUAL task count (scan
-      // splits, no longer cfg.partitions) for the lineage audit.
-      val enc = encodeCombined(spark, docText, meta.docsPerShard, cfg, aligned = true)
-      val encParts = enc.rdd.getNumPartitions
-      enc.write.mode(SaveMode.Overwrite).parquet(s"$dir/blocks")
-      commitStage(dir, "postings", encParts)
-      if (cfg.buildTrigrams) commitStage(dir, "trigrams", encParts)
-      stageEnd("encode"); ran += 1
+      }
+      // token + trigram sections in ONE pass over the text (the dominant
+      // DRAM stream of the build — see encodeCombined). Both families
+      // land in $dir/blocks; the two legacy commit markers stay so
+      // resume/publish gating and batchDirs() are unchanged.
+      val fEnc = Future {
+        if (needEnc) {
+          // plain write, kind as a normal column: each task emits all its
+          // token blocks then all its trigram blocks, so row groups stay
+          // kind-pure and the kind filter prunes on parquet min/max stats.
+          // partitionBy(kind) would plan a per-task SORT of the whole
+          // block set (multi-MB rows through the external sorter) —
+          // measured ~5% slower end-to-end (EncodeBench r05).
+          // aligned = true: the docs files are shard-aligned (assignDocIds
+          // above), so the encode is a straight scan — the (shard)-keyed
+          // exchange of the text, the build's last row-level shuffle, is
+          // gone (r06). A resumed pre-r06 docs dir is merely unaligned,
+          // which only splits a boundary shard's blocks across two tasks
+          // — every decode path merges per-(term,shard) blocks by
+          // firstDoc, so results are unchanged. The commit marker records
+          // the ACTUAL task count (scan splits, no longer cfg.partitions)
+          // for the lineage audit.
+          val enc = encodeCombined(spark, docText, meta.docsPerShard, cfg, aligned = true)
+          val encParts = enc.rdd.getNumPartitions
+          enc.write.mode(SaveMode.Overwrite).parquet(s"$dir/blocks")
+          commitStage(dir, "postings", encParts)
+          if (cfg.buildTrigrams) commitStage(dir, "trigrams", encParts)
+        }
+      }
+      Await.result(fNorms, scala.concurrent.duration.Duration.Inf)
+      Await.result(fEnc, scala.concurrent.duration.Duration.Inf)
+      if (needNorms) { stageEnd("docnorms"); ran += 1 }
+      if (needEnc) { stageEnd("encode"); ran += 1 }
     }
 
     if (!stageDone(dir, "termstats")) {
